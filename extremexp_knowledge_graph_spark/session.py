@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults target the sandbox (single JVM, ``local[N]``) but are the same knobs
+that matter on a 1000-executor cluster: AQE on (runtime coalescing + skew-join
+splitting), Arrow for every pandas UDF boundary, shuffle partition count sized
+to the parallelism level, and broadcast join threshold left to Spark (small
+dimension tables in the KG pipeline — gazetteers, ontology maps — are
+broadcast explicitly at call sites).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "extremexp-kg-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``. Shuffle partitions
+    default to 2× the core count — enough granularity for AQE to coalesce
+    down, without thousands of empty tasks at test scale. On a real cluster
+    these come from spark-submit; nothing here hard-codes local mode into the
+    engine itself.
+    """
+    cpus_s = str(cpus) if cpus else os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus_s}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_shuffle(cpus_s)))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _default_shuffle(cpus_s: str) -> int:
+    if cpus_s == "*":
+        count = os.cpu_count() or 8
+    else:
+        count = int(cpus_s)
+    return max(8, 2 * count)
