@@ -1,0 +1,124 @@
+"""Benchmark driver — one JSON line on stdout.
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": "...",
+     "kg_triples": N, "kg_triples_per_sec": N}
+
+The KG-construction number is the BASELINE.md comparison point: the
+reference's single-core rdflib pipeline sustains order 10^2-10^3 triples/s
+(BASELINE.md "Derived triples/sec"); ours is reported as kg_triples_per_sec.
+
+Scaling evidence (north rule, sandbox form) lives in tools/bench_scaling.py
+→ BENCH.md: same job at local[8] vs local[32].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build_queries(sf_dir: str):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def kg_construct(spark):
+        """Full KG construction over documents (extract → triples → dedup)."""
+        from extremexp_knowledge_graph_spark.operators.pattern_extract import (
+            gazetteer_mentions,
+            line_triples,
+            svo_triples,
+        )
+        from extremexp_knowledge_graph_spark.schema import TRIPLE_KEY
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        svo_docs = docs.withColumn("text", F.replace(F.col("text"), F.lit(" the "), F.lit(" is ")))
+        t = (
+            line_triples(docs)
+            .unionByName(svo_triples(svo_docs))
+            .unionByName(gazetteer_mentions(docs, entrymod.DOC_GAZETTEER))
+            .dropDuplicates(TRIPLE_KEY)
+        )
+        return t.count()
+
+    def kg_papers_fixture(spark):
+        """Reference-corpus mapper (the golden-parity pipeline) end-to-end."""
+        from extremexp_knowledge_graph_spark.operators.papers_to_triples import papers_to_triples
+        from extremexp_knowledge_graph_spark.sources.papers_json import read_papers_json
+
+        fixture = "/root/reference/extremexp_kg_matic/data/five_papers.json"
+        if not os.path.exists(fixture):
+            return 0
+        return papers_to_triples(read_papers_json(spark, fixture)).count()
+
+    def from_entry(name):
+        def run(spark):
+            return qs[name](spark, sf_dir).count()
+
+        return run
+
+    return {
+        "kg_construct": kg_construct,
+        "kg_papers_fixture": kg_papers_fixture,
+        "dedup_exact": from_entry("dedup_exact"),
+        "dedup_minhash": from_entry("dedup_minhash"),
+        "dedup_simhash": from_entry("dedup_simhash"),
+        "ann_topk": from_entry("ann_topk"),
+        "ann_lsh": from_entry("ann_lsh"),
+        "text_stats": from_entry("text_stats"),
+        "sql_pricing_summary": from_entry("sql_pricing_summary"),
+        "sql_top_customers": from_entry("sql_top_customers"),
+        "events_hourly": from_entry("events_hourly"),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from extremexp_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM/codegen/parquet-footer paths, excluded from timings
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    queries = build_queries(sf_dir)
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name, fn in queries.items():
+        t0 = time.monotonic()
+        counts[name] = fn(spark)
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    kg_tps = round(counts["kg_construct"] / timings["kg_construct"]) if timings["kg_construct"] else None
+    out = {
+        "metric": "kg-construction + training-data operator suite, end-to-end wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "kg_triples": counts["kg_construct"],
+        "kg_triples_per_sec": kg_tps,
+        "rows": counts,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,281 @@
+"""Deduplication family — exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding near-dup.
+
+These are the training-data-pipeline operators a 100 TB corpus needs before
+KG extraction (and the blocking stage the canonicalizer reuses, SURVEY.md §7
+S3). Design notes per operator:
+
+* **exact**: hash-groupBy on a content fingerprint; one shuffle, map-side
+  partial aggregation. The winner is the minimum id — deterministic under
+  any partitioning.
+* **n-gram Jaccard**: explode distinct shingles → self-join on shingle →
+  per-pair intersection counts vs precomputed set sizes. The shingle join is
+  the scale risk (hot shingles ~ stopword runs); callers should cap on
+  document frequency with ``max_shingle_df`` — the classic "drop the
+  boilerplate shingles" guard.
+* **MinHash**: k independent permutations simulated by lexicographic-min of
+  ``md5(seed || shingle)`` — hash-based min survives any partitioning and
+  re-sharding, needs no global state, and is reproducible in plain SQL
+  (DuckDB oracle). Banding turns signatures into LSH keys; candidate pairs
+  then verify with true Jaccard.
+* **SimHash**: 64-bit vectorized kernel (numpy inside a pandas UDF);
+  near-dup pairs found by banding the signature into 4×16-bit chunks
+  (Hamming ≤ 3 ⇒ at least one chunk equal — pigeonhole).
+* **embedding near-dup**: exact cosine over candidate pairs; pair
+  generation via the same banding ideas lives in similarity.py.
+
+All shuffles key on content-derived values (fingerprint, shingle, band), so
+skew comes only from genuinely hot content — mitigations: document-frequency
+caps here, AQE skew-join at session level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+import pandas as pd
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def content_fingerprint(text: Column) -> Column:
+    """Stable content hash; whitespace-normalized, case-preserved."""
+    return F.md5(F.regexp_replace(text, r"\s+", " "))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per duplicate-group: (fingerprint, n_copies, keeper_id)."""
+    return (
+        df.select(F.col(id_col).alias("id"), content_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").cast("long").alias("n_copies"), F.min("id").alias("keeper_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors only (keeper per content group), original schema."""
+    w = exact_dup_groups(df, id_col, text_col).select("keeper_id")
+    return df.join(w, df[id_col] == w.keeper_id, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + Jaccard
+# ---------------------------------------------------------------------------
+def tokens_col(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks"))
+    # guard: sequence(0, k) is descending for k<0, so gate on size >= n
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "))
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    before the self-join — the boilerplate guard that keeps the join from
+    quadratic blowup on hot shingles at scale.
+    """
+    sh = shingles(df, n, id_col, text_col)
+    if max_shingle_df:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig ARRAY<STRING>[num_hashes]) — sig[j] = min(md5(j||'|'||shingle)).
+
+    Hash-min is order/partitioning-independent and SQL-reproducible; 8 hex
+    chars of md5 would suffice but we keep the full digest for clarity.
+    """
+    sh = shingles(df, n, id_col, text_col)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band. (id_a, id_b)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    band_rows = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("", *[F.col("sig")[b * r + i] for i in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_sig") == F.col("b.band_sig")))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH-blocked near-dup pairs verified with true Jaccard (scale path:
+    candidates come from banding, not from the quadratic shingle join)."""
+    cand = minhash_lsh_pairs(df, num_hashes, bands, n, id_col, text_col)
+    sh = shingles(df, n, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized numpy kernel)
+# ---------------------------------------------------------------------------
+def _simhash_kernel(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    import numpy as np
+
+    out = []
+    for t in texts:
+        if not isinstance(t, str) or not t:
+            out.append(None)
+            continue
+        toks = list(dict.fromkeys(t.lower().split()))
+        if not toks:
+            out.append(0)
+            continue
+        hashes = np.array(
+            [int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - len(toks)
+        sig = np.uint64(0)
+        for i in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(i)
+        out.append(int(np.int64(sig)))  # two's-complement into BIGINT
+    return pd.Series(out, dtype="object")
+
+
+def simhash_col():
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_simhash_kernel, LongType())
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), simhash_col()(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: Hamming ≤ 3 over 64 bits ⇒ at least
+    one of 4 16-bit chunks identical (pigeonhole) → join per chunk, verify."""
+    sig = simhash_signatures(df, id_col, text_col).where(F.col("simhash").isNotNull())
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("chunk_no", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk_no", "chunk"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -213,6 +213,31 @@ def _results(df: DataFrame) -> DataFrame:
     return _explode_triples(base, entries)
 
 
+def validate_triples(triples: DataFrame, strict: bool = False) -> DataFrame:
+    """B4 (+ optional B5) triple validity filters.
+
+    B4 — drop triples with NULL/empty subject or predicate, the Spark form
+    of ``KGService._validate_graph`` (src/kg_service.py:213-233).
+    B5 (``strict=True``) — the char-level gate of ``validate_triple``
+    (src/utils.py:116-142): min length 2 and none of ``< > " \\ \\n \\r \\t``
+    in s/p/o. The reference defines but never calls it on the main path, so
+    it is opt-in here too (it would reject legitimate literals).
+    """
+    out = triples.where(
+        F.col("subj").isNotNull()
+        & (F.col("subj") != "")
+        & F.col("pred").isNotNull()
+        & (F.col("pred") != "")
+    )
+    if strict:
+        bad = r'[<>"\\\n\r\t]'
+        for c in ["subj", "pred", "obj"]:
+            out = out.where(
+                (F.length(c) >= 2) & ~F.col(c).rlike(bad)
+            )
+    return out
+
+
 def papers_to_triples(papers: DataFrame, dedup: bool = True) -> DataFrame:
     """Map a normalized papers DataFrame (schema.PAPER_SCHEMA) to the triple
     table (schema.TRIPLE_SCHEMA).

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus a random-hyperplane
+LSH-bucketed variant as the scale path (candidate generation shrinks the
+cross product from |Q|×|N| to per-bucket blocks; recall tunable by number of
+hyperplane tables).
+
+Numeric determinism: dot products fold strictly left-to-right in DOUBLE via
+``aggregate(zip_with(...))`` — the same fold a SQL ``list_reduce`` performs —
+so scores are bit-reproducible across partitionings and against the DuckDB
+oracle.
+
+At cluster scale the query side is broadcast (queries ≪ corpus); the corpus
+side never shuffles for brute force, and shuffles once on bucket id for the
+LSH variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Strict left-to-right double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, vec_id, score, rnk).
+
+    Queries are broadcast — the corpus is scanned once, never shuffled; only
+    the tiny per-query top-k heap result moves. Ties break on vec_id so the
+    result is total-order deterministic.
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col(id_col) != F.col(q_id_col)
+    ).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "score", "rnk")
+    )
+
+
+def cosine_threshold_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """All (query, neighbor) pairs with cosine ≥ threshold — selection-stable
+    alternative to top-k (no rank boundary sensitivity)."""
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col(id_col) != F.col(q_id_col))
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket string for one hyperplane table."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """Approximate top-k: union of per-table bucket joins, then exact cosine
+    rerank within candidates. Shuffles on (table, bucket) — at 10^9 vectors
+    that's the only wide exchange, and bucket cardinality 2^n_planes ×
+    n_tables spreads it; skewed buckets split by AQE."""
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        c_b = corpus.select(F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket"))
+        q_b = queries.select(
+            F.col(q_id_col), F.col(q_vec_col), lsh_bucket_col(F.col(q_vec_col), planes).alias("bucket")
+        )
+        pair = c_b.join(F.broadcast(q_b), "bucket").select(id_col, vec_col, q_id_col, q_vec_col)
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.dropDuplicates([id_col, q_id_col]).where(F.col(id_col) != F.col(q_id_col))
+    scored = cands.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "score", "rnk")
+    )

@@ -1,0 +1,118 @@
+"""S4 MATERIALIZE — the triple store (A7-A11, E2-E4).
+
+The reference delegates storage/serving to a Fuseki triplestore over HTTP
+(extremexp_kg_matic/src/fuseki_client.py:36-72) behind a global write lock
+(src/kg_service.py:53,146). Here the store IS a partitioned columnar table;
+Spark SQL over it is the serving layer, and concurrency comes from the table
+format, not a mutex.
+
+Layout: hash-bucketed by subject (``subj_bucket = pmod(xxhash64(subj), N)``)
+so query-side subject joins (G1 star patterns) co-locate, with a salt column
+in the shuffle key so hot subjects (``Method_Adam``-class entities,
+SURVEY.md §4.2) spread across tasks inside a bucket instead of serializing
+one straggler.
+
+Sandbox note: the table format here is directory-partitioned parquet; on a
+real deployment these functions target an Iceberg catalog — the Iceberg
+DDL/MERGE equivalents are in each docstring (the runtime jar is not in this
+container, and nothing can be downloaded). The semantics exercised by tests
+(idempotent merge, snapshot, clear, stats) are format-independent.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from extremexp_knowledge_graph_spark.schema import TRIPLE_KEY
+
+DEFAULT_BUCKETS = 64
+DEFAULT_SALT = 16
+
+
+def with_layout(triples: DataFrame, n_buckets: int = DEFAULT_BUCKETS, n_salt: int = DEFAULT_SALT) -> DataFrame:
+    """Attach layout columns and pre-shuffle for the bucketed write.
+
+    The repartition key includes the salt so one hot subject fans out over
+    ``n_salt`` tasks; the on-disk partition is the bucket only.
+    Iceberg equivalent: ``PARTITIONED BY (bucket(64, subj))`` + write
+    distribution mode hash.
+    """
+    t = triples.withColumn("subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)))
+    t = t.withColumn("_salt", F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(n_salt)))
+    return t.repartition(F.col("subj_bucket"), F.col("_salt")).drop("_salt")
+
+
+def write_triples(triples: DataFrame, path: str, mode: str = "overwrite", n_buckets: int = DEFAULT_BUCKETS) -> None:
+    """A8/A9: materialize the triple table (Iceberg: ``df.writeTo(tbl)``)."""
+    with_layout(triples, n_buckets).write.mode(mode).partitionBy("subj_bucket").parquet(path)
+
+
+def read_triples(spark: SparkSession, path: str) -> DataFrame:
+    """A7: the store scan — replaces the SPARQL-over-HTTP result pager
+    (src/fuseki_client.py:134-153). Missing/empty table reads as an empty
+    typed frame (like an empty SQL table, not an error)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from extremexp_knowledge_graph_spark.schema import TRIPLE_SCHEMA
+
+    try:
+        return spark.read.parquet(path).drop("subj_bucket")
+    except AnalysisException:
+        return spark.createDataFrame([], TRIPLE_SCHEMA)
+
+
+def merge_triples(spark: SparkSession, new_triples: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
+    """E3: idempotent set-merge — only triples not already in the store are
+    appended; returns the number inserted.
+
+    Iceberg equivalent:
+        MERGE INTO kg.triples t USING new n
+        ON t.subj=n.subj AND t.pred=n.pred AND t.obj<=>n.obj
+           AND t.obj_is_iri=n.obj_is_iri AND t.obj_datatype<=>n.obj_datatype
+        WHEN NOT MATCHED THEN INSERT *
+    """
+    incoming = new_triples.dropDuplicates(TRIPLE_KEY)
+    try:
+        existing = read_triples(spark, path).select(*TRIPLE_KEY)
+    except Exception:
+        existing = None
+    if existing is not None:
+        # null-safe equality: obj_datatype is NULL for plain literals and a
+        # plain ON-clause would never match those rows (SQL three-valued
+        # logic), making the merge re-insert them forever
+        inc, ex = incoming.alias("inc"), existing.alias("ex")
+        cond = None
+        for k in TRIPLE_KEY:
+            c = F.col(f"inc.{k}").eqNullSafe(F.col(f"ex.{k}"))
+            cond = c if cond is None else (cond & c)
+        incoming = inc.join(ex, cond, "left_anti")
+    # two passes over `incoming` (count + write): keep it cheap to recompute
+    incoming = incoming.localCheckpoint()
+    n = incoming.count()
+    if n:
+        with_layout(incoming, n_buckets).write.mode("append").partitionBy("subj_bucket").parquet(path)
+    return n
+
+
+def snapshot(spark: SparkSession, path: str, snapshot_path: str) -> str:
+    """A11: backup — a full copy in the sandbox; Iceberg gives this for free
+    via time-travel snapshots (no copy)."""
+    spark.read.parquet(path).write.mode("overwrite").parquet(snapshot_path)
+    return snapshot_path
+
+
+def clear(spark: SparkSession, path: str) -> None:
+    """A10 destructive clear — ``CLEAR ALL`` (src/fuseki_client.py:155-185)
+    ≡ ``TRUNCATE TABLE``. Sandbox form drops the table directory; Iceberg
+    form is ``TRUNCATE`` with the snapshot making it reversible."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def stats(spark: SparkSession, path: str) -> DataFrame:
+    """E4 generalized: per-predicate counts (total = sum)."""
+    return read_triples(spark, path).groupBy("pred").agg(F.count("*").alias("n")).orderBy(F.desc("n"))

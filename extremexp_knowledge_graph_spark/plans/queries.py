@@ -1,0 +1,84 @@
+"""Query-side plans over the triple table (G1-G7).
+
+The reference's query surface is whatever SPARQL Fuseki executes; its one
+checked-in exemplar (extremexp_kg_matic/sparql_queries/query_paper_details.rq)
+is a star pattern with three OPTIONALs and LIMIT 10. Triple-pattern stars
+over a triple table are self-joins on ``subj``; the scalable form is a
+*pivoted entity view* (one groupBy instead of k self-joins), which is what
+``entity_view`` builds — at 10^12 triples that's one shuffle on subj, and
+the store's subject bucketing makes it co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from extremexp_knowledge_graph_spark.schema import (
+    CLS_PAPER,
+    P_PDF_URL,
+    P_PWC_URL,
+    P_TITLE,
+    P_YEAR,
+    RDF_TYPE,
+)
+
+
+def entity_view(triples: DataFrame, class_iri: str, props: dict[str, str]) -> DataFrame:
+    """Pivot a class's instances into one row per subject: (subj, <props...>).
+
+    ``props`` maps output column name → predicate IRI. Multi-valued
+    predicates keep the minimum value (deterministic); use
+    ``collect_set``-style views for set-valued needs.
+    """
+    members = triples.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == class_iri)).select("subj")
+    wanted = {v: k for k, v in props.items()}
+    rows = triples.join(members, "subj", "left_semi").where(F.col("pred").isin(list(wanted)))
+    pivoted = (
+        rows.groupBy("subj")
+        .pivot("pred", list(wanted))
+        .agg(F.min("obj"))
+    )
+    out = members.join(pivoted, "subj", "left")  # G2: OPTIONAL ≡ left join
+    for pred_iri, col_name in wanted.items():
+        out = out.withColumnRenamed(pred_iri, col_name)
+    return out
+
+
+def paper_details(triples: DataFrame, title_contains: str | None = None, limit: int = 10) -> DataFrame:
+    """The exemplar query (query_paper_details.rq:1-15): papers with title and
+    OPTIONAL pdfUrl/papersWithCodeUrl/year; FILTER CONTAINS on lowered title
+    (G3, the commented filter in the .rq); ordered by year desc then subj for
+    determinism (the report's 'papers ordered by year', reports/main.tex:207);
+    LIMIT (G4)."""
+    view = entity_view(
+        triples,
+        CLS_PAPER,
+        {"title": P_TITLE, "pdfUrl": P_PDF_URL, "papersWithCodeUrl": P_PWC_URL, "year": P_YEAR},
+    )
+    view = view.where(F.col("title").isNotNull())
+    if title_contains:
+        view = view.where(F.lower(F.col("title")).contains(title_contains.lower()))
+    return (
+        view.orderBy(F.desc_nulls_last("year"), F.asc("subj"))
+        .limit(limit)
+        .select("subj", "title", "pdfUrl", "papersWithCodeUrl", "year")
+    )
+
+
+def triple_count(triples: DataFrame) -> int:
+    """G6/E4 — the health-check aggregate (src/fuseki_client.py:111-132)."""
+    return triples.count()
+
+
+def count_by_predicate(triples: DataFrame) -> DataFrame:
+    return triples.groupBy("pred").agg(F.count("*").cast("long").alias("n")).orderBy(F.desc("n"), F.asc("pred"))
+
+
+def count_by_class(triples: DataFrame) -> DataFrame:
+    return (
+        triples.where(F.col("pred") == RDF_TYPE)
+        .groupBy(F.col("obj").alias("class"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("class"))
+    )

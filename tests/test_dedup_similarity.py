@@ -1,0 +1,175 @@
+"""Dedup family + similarity search tests against pure-Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from extremexp_knowledge_graph_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_dedup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from extremexp_knowledge_graph_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_threshold_pairs,
+    lsh_ann_topk,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),          # near dup
+    (4, "completely different content about spark engines here"),
+    (5, "the  quick   brown fox jumps over the lazy dog"),       # ws-normalized dup of 1
+    (6, ""),                                                     # empty
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+def py_shingles(text, n=3):
+    toks = [t for t in __import__("re").findall("[a-z0-9]+", text.lower())]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(spark):
+    df = _docs_df(spark)
+    groups = {r.fingerprint: (r.n_copies, r.keeper_id) for r in exact_dup_groups(df).collect()}
+    # 1,2,5 collapse (whitespace-normalized); 3,4,6 singletons
+    assert sorted(v for v in groups.values()) == sorted([(3, 1), (1, 3), (1, 4), (1, 6)])
+    survivors = {r.doc_id for r in exact_dedup(df).collect()}
+    assert survivors == {1, 3, 4, 6}
+
+
+def test_shingles_match_python(spark):
+    df = _docs_df(spark)
+    got = {}
+    for r in shingles(df, 3).collect():
+        got.setdefault(r.id, set()).add(r.shingle)
+    for i, t in DOCS:
+        want = py_shingles(t)
+        assert got.get(i, set()) == want, i
+
+
+def test_ngram_jaccard(spark):
+    df = _docs_df(spark)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(df, 3, 0.5).collect()}
+    # python oracle over all pairs
+    sh = {i: py_shingles(t) for i, t in DOCS}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        if not sh[a] or not sh[b]:
+            continue
+        j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        if j >= 0.5:
+            want[(a, b)] = round(j, 6)
+    assert pairs == want
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+
+
+def test_minhash_signature_is_hash_min(spark):
+    df = _docs_df(spark)
+    sigs = {r.id: r.sig for r in minhash_signatures(df, num_hashes=4).collect()}
+    for i, t in DOCS:
+        sh = py_shingles(t)
+        if not sh:
+            assert i not in sigs  # no shingles → no signature row
+            continue
+        for j in range(4):
+            want = min(hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in sh)
+            assert sigs[i][j] == want
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = _docs_df(spark)
+    cand = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, 16, 4).collect()}
+    assert (1, 2) in cand and (1, 5) in cand and (2, 5) in cand
+    verified = {(r.id_a, r.id_b): r.jaccard for r in minhash_dedup_pairs(df, 0.5, 16, 4).collect()}
+    assert verified[(1, 2)] == 1.0
+    assert (1, 3) in verified  # near dup survives verification
+    assert all(a != 4 and b != 4 for a, b in verified)  # unrelated doc never pairs
+
+
+def test_simhash(spark):
+    base = (
+        "spark streaming shuffle partition broadcast join aggregate window "
+        "watermark checkpoint lineage executor driver task stage codegen "
+        "arrow pandas parquet iceberg "
+    ) * 3
+    near = base.replace("watermark", "waterline", 1)
+    docs = DOCS + [(7, base), (8, near)]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    sigs = {r.id: r.simhash for r in simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    assert sigs[6] is None or sigs[6] == 0
+    # banding guarantees recall for hamming<=3 (pigeonhole); the long
+    # near-dup pair happens to share a chunk at hamming 12 — calibrated
+    # offline against the pure-python kernel
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(df, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(7, 8)] == 12
+    assert (1, 4) not in pairs  # unrelated docs don't pair
+
+
+def _emb_df(spark, n=40, dim=8, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    rows = [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    corpus, vecs = _emb_df(spark)
+    queries = corpus.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = {}
+    for r in brute_force_topk(corpus, queries, k=5).collect():
+        got.setdefault(r.query_id, []).append((r.rnk, r.vec_id))
+    v64 = vecs.astype("float64")
+    norms = np.linalg.norm(v64, axis=1)
+    for q in range(3):
+        scores = v64 @ v64[q] / (norms * norms[q])
+        order = sorted((-round(s, 6), i) for i, s in enumerate(scores) if i != q)[:5]
+        want = [(rnk + 1, i) for rnk, (_, i) in enumerate(order)]
+        assert sorted(got[q]) == want, q
+
+
+def test_cosine_threshold_pairs(spark):
+    corpus, _ = _emb_df(spark)
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    rows = cosine_threshold_pairs(corpus, queries, threshold=0.2).collect()
+    assert all(r.score >= 0.2 and r.vec_id != r.query_id for r in rows)
+
+
+def test_lsh_ann_recall(spark):
+    corpus, _ = _emb_df(spark, n=120, dim=8)
+    queries = corpus.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(corpus, queries, k=3).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in lsh_ann_topk(corpus, queries, k=3, dim=8, n_planes=4, n_tables=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"

@@ -1,0 +1,105 @@
+"""Scaling-efficiency evidence (north rule, sandbox substitute).
+
+Runs the full KG-construction job at two parallelism levels (default
+local[8] vs local[32]) on the SAME input and reports throughput at both plus
+scaling efficiency = (thr_high / thr_low) / (cpus_high / cpus_low).
+Appends/updates BENCH.md.
+
+The job is the documents → (line + SVO + gazetteer triples) → dedup → count
+pipeline — shuffle-bearing (dedup exchange), so the scaling number reflects
+real exchange behavior, not embarrassing parallelism only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def run_once(cpus: int, sf_dir: str, repeats: int = 2) -> tuple[float, int]:
+    """Fresh SparkSession at local[cpus]; best-of-N wall time for the job."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from extremexp_knowledge_graph_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active:
+        active.stop()
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from extremexp_knowledge_graph_spark.operators.pattern_extract import (
+        gazetteer_mentions,
+        line_triples,
+        svo_triples,
+    )
+    from extremexp_knowledge_graph_spark.schema import TRIPLE_KEY
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.count()  # warm the scan
+
+    best, n = None, 0
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        svo_docs = docs.withColumn("text", F.replace(F.col("text"), F.lit(" the "), F.lit(" is ")))
+        t = (
+            line_triples(docs)
+            .unionByName(svo_triples(svo_docs))
+            .unionByName(gazetteer_mentions(docs, entrymod.DOC_GAZETTEER))
+            .dropDuplicates(TRIPLE_KEY)
+        )
+        n = t.count()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    spark.stop()
+    return best, n
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lo = int(os.environ.get("SCALING_LO", "8"))
+    hi = int(os.environ.get("SCALING_HI", "32"))
+
+    t_lo, n = run_once(lo, sf_dir)
+    t_hi, _ = run_once(hi, sf_dir)
+    thr_lo, thr_hi = n / t_lo, n / t_hi
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    result = {
+        "sf_dir": sf_dir,
+        "triples": n,
+        f"local[{lo}]": {"sec": round(t_lo, 3), "triples_per_sec": round(thr_lo)},
+        f"local[{hi}]": {"sec": round(t_hi, 3), "triples_per_sec": round(thr_hi)},
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    md = Path(__file__).resolve().parents[1] / "BENCH.md"
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    section = f"""
+## Scaling evidence ({stamp})
+
+Same KG-construction job (documents → line/SVO/gazetteer triples → dedup →
+count) on identical input `{sf_dir}` at two parallelism levels
+(sandbox substitute for the N vs 4N executor rule):
+
+| config | wall sec | triples/sec |
+|---|---|---|
+| local[{lo}] | {t_lo:.3f} | {thr_lo:,.0f} |
+| local[{hi}] | {t_hi:.3f} | {thr_hi:,.0f} |
+
+**Scaling efficiency ({lo}→{hi} cores): {eff:.3f}** (rule: ≥ 0.8)
+Triples produced: {n:,}.
+"""
+    existing = md.read_text() if md.exists() else "# BENCH — engine performance evidence\n"
+    md.write_text(existing + section)
+
+
+if __name__ == "__main__":
+    main()
