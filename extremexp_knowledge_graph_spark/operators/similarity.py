@@ -17,6 +17,9 @@ LSH variant.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -109,7 +112,9 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket string for one hyperplane table."""
+    """Sign-bit bucket string for one hyperplane table (native-expression
+    form — fine for a handful of planes; the batch path below is the scale
+    kernel)."""
     bits = [
         F.when(
             F.aggregate(
@@ -129,6 +134,35 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def lsh_buckets_udf(all_planes: list[list[list[float]]]):
+    """Arrow-batched kernel: all tables' sign-bit buckets in one numpy matmul.
+
+    ``all_planes`` is ``[n_tables][n_planes][dim]``. Per Arrow batch we stack
+    the vectors into an (N, dim) matrix and compute sign((N,dim) @ (dim, T*P))
+    once — dense linear algebra is the one place a vectorized pandas UDF
+    beats Catalyst expressions (a per-plane fold expression tree grows with
+    tables × planes × dim and is quadratic to analyze/codegen; the matmul is
+    a single BLAS call regardless)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(all_planes, dtype=np.float64)  # (T, P, dim)
+    n_tables, n_planes, _ = mat.shape
+    flat = mat.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
+
+    @pandas_udf("array<string>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy())  # (N, dim)
+        bits = (v.astype(np.float64) @ flat >= 0).astype(np.uint8)  # (N, T*P)
+        bits = bits.reshape(len(v), n_tables, n_planes)
+        out = [
+            ["".join("1" if b else "0" for b in row[t]) for t in range(n_tables)]
+            for row in bits
+        ]
+        return pd.Series(out)
+
+    return _buckets
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,20 +176,30 @@ def lsh_ann_topk(
     q_id_col: str = "query_id",
     q_vec_col: str = "q_embedding",
 ) -> DataFrame:
-    """Approximate top-k: union of per-table bucket joins, then exact cosine
-    rerank within candidates. Shuffles on (table, bucket) — at 10^9 vectors
-    that's the only wide exchange, and bucket cardinality 2^n_planes ×
-    n_tables spreads it; skewed buckets split by AQE."""
-    cands = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        c_b = corpus.select(F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket"))
-        q_b = queries.select(
-            F.col(q_id_col), F.col(q_vec_col), lsh_bucket_col(F.col(q_vec_col), planes).alias("bucket")
-        )
-        pair = c_b.join(F.broadcast(q_b), "bucket").select(id_col, vec_col, q_id_col, q_vec_col)
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.dropDuplicates([id_col, q_id_col]).where(F.col(id_col) != F.col(q_id_col))
+    """Approximate top-k: one Arrow-batched bucket kernel for all tables,
+    posexplode to (table, bucket), bucket-equijoin against the (broadcast)
+    bucketed queries, then exact cosine rerank within candidates. Shuffles on
+    (table, bucket) — at 10^9 vectors that's the only wide exchange, and
+    bucket cardinality 2^n_planes × n_tables spreads it; skewed buckets split
+    by AQE."""
+    all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    buckets = lsh_buckets_udf(all_planes)
+    c_b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    q_b = queries.select(
+        F.col(q_id_col),
+        F.col(q_vec_col),
+        F.posexplode(buckets(F.col(q_vec_col))).alias("tbl", "bucket"),
+    )
+    cands = (
+        c_b.join(F.broadcast(q_b), ["tbl", "bucket"])
+        .select(id_col, vec_col, q_id_col, q_vec_col)
+        .dropDuplicates([id_col, q_id_col])
+        .where(F.col(id_col) != F.col(q_id_col))
+    )
     scored = cands.select(
         F.col(q_id_col),
         F.col(id_col),
