@@ -30,10 +30,15 @@ def get_spark(
     engine itself.
     """
     cpus_s = str(cpus) if cpus else os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    # honor a master set by the launcher (spark-submit --master …); only
+    # default to local[N] when running as a bare python process
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cpus_s}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus_s}]")
-        .config("spark.sql.adaptive.enabled", "true")
+        builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
