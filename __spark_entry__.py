@@ -157,6 +157,23 @@ def _q_text_stats(spark, sf_dir):
     )
 
 
+def _q_text_topk_per_lang(spark, sf_dir):
+    """Window-function surface (G7 generalized): top-3 documents per language
+    by quality score, ties broken on doc_id — rank/partition semantics over
+    the same text kernels as text_stats."""
+    from pyspark.sql.window import Window
+
+    stats = _q_text_stats(spark, sf_dir).select("doc_id", "quality")
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        stats.join(langs, "doc_id")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "quality", "rnk")
+    )
+
+
 def _q_text_lang_id(spark, sf_dir):
     from extremexp_knowledge_graph_spark.functions import text as T
 
@@ -296,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_counts": _q_kg_pred_counts,
         "kg_doc_mention_stats": _q_kg_doc_mention_stats,
         "text_stats": _q_text_stats,
+        "text_topk_per_lang": _q_text_topk_per_lang,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -518,6 +536,19 @@ select doc_id,
        , 6) as quality
 from documents
 """
+
+ORACLE["text_topk_per_lang"] = (
+    "with ts as ("
+    + ORACLE["text_stats"]
+    + r""")
+select lang, doc_id, quality, rnk from (
+  select d.lang, ts.doc_id, ts.quality,
+         row_number() over (partition by d.lang
+                            order by ts.quality desc, ts.doc_id asc)::bigint as rnk
+  from ts join documents d using (doc_id)) sub
+where rnk <= 3
+"""
+)
 
 ORACLE["text_lang_id"] = r"""
 with c as (
