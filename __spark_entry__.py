@@ -214,6 +214,14 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16)
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within the corpus (exact all-pairs
+    mode — the oracle path; n_planes>0 switches to LSH blocking at scale)."""
+    from extremexp_knowledge_graph_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
 def _q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k (exactness baseline)."""
     from extremexp_knowledge_graph_spark.operators.similarity import brute_force_topk
@@ -320,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "ann_topk": _q_ann_topk,
         "ann_threshold": _q_ann_threshold,
         "ann_lsh": _q_ann_lsh,
@@ -658,6 +667,23 @@ round(
    * sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
       i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), (x,y) -> x+y)))
 , 6)
+"""
+
+_COS_AB_SQL = """
+round(
+  list_reduce(list_transform(range(1, len(a.embedding)+1),
+      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)
+  / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (x,y) -> x+y))
+   * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)))
+, 6)
+"""
+
+ORACLE["dedup_embedding"] = rf"""
+select a.vec_id as id_a, b.vec_id as id_b, {_COS_AB_SQL} as score
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where {_COS_AB_SQL} >= 0.4
 """
 
 ORACLE["ann_topk"] = rf"""

@@ -101,6 +101,58 @@ def cosine_threshold_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within one corpus:
+    (id_a, id_b, score) with id_a < id_b and cosine ≥ threshold.
+
+    ``n_planes=0`` → exact all-pairs (the small-scale / oracle path; the
+    self-join is the quadratic baseline). ``n_planes>0`` → LSH-blocked: only
+    pairs sharing a hyperplane bucket in ≥1 table are scored — the scale
+    path, same banding as ``lsh_ann_topk`` (at 0.95 cosine the sign-bit
+    collision probability per plane is ~0.9, so recall stays high exactly
+    for the near-dup band we care about)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if n_planes > 0:
+        all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        buckets = lsh_buckets_udf(all_planes)
+        ab = corpus.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+        bb = corpus.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+        pairs = (
+            ab.join(bb, ["tbl", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "va", "id_b", "vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------
