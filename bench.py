@@ -64,6 +64,36 @@ def build_queries(sf_dir: str):
             return 0
         return papers_to_triples(read_papers_json(spark, fixture)).count()
 
+    def kg_construct_store(spark):
+        """Construction + salted bucketed store write (the full S4 path —
+        'end-to-end triples/sec' including materialization I/O)."""
+        import shutil
+        import tempfile
+
+        from extremexp_knowledge_graph_spark.operators.pattern_extract import (
+            gazetteer_mentions,
+            line_triples,
+            svo_triples,
+        )
+        from extremexp_knowledge_graph_spark.plans.kg_store import write_triples
+        from extremexp_knowledge_graph_spark.schema import TRIPLE_KEY
+        from extremexp_knowledge_graph_spark.sources.util import ensure_min_parallelism
+
+        docs = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        svo_docs = docs.withColumn("text", F.replace(F.col("text"), F.lit(" the "), F.lit(" is ")))
+        t = (
+            line_triples(docs)
+            .unionByName(svo_triples(svo_docs))
+            .unionByName(gazetteer_mentions(docs, entrymod.DOC_GAZETTEER))
+            .dropDuplicates(TRIPLE_KEY)
+        )
+        out = tempfile.mkdtemp(prefix="bench_store_")
+        try:
+            write_triples(t, out)
+            return spark.read.parquet(out).count()
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     def from_entry(name):
         def run(spark):
             return qs[name](spark, sf_dir).count()
@@ -72,6 +102,7 @@ def build_queries(sf_dir: str):
 
     return {
         "kg_construct": kg_construct,
+        "kg_construct_store": kg_construct_store,
         "kg_papers_fixture": kg_papers_fixture,
         "dedup_exact": from_entry("dedup_exact"),
         "dedup_minhash": from_entry("dedup_minhash"),
@@ -110,10 +141,15 @@ def main():
     queries = build_queries(sf_dir)
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name, fn in queries.items():
-        t0 = time.monotonic()
-        counts[name] = fn(spark)
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(repeats):  # best-of-N: single-JVM runs are noisy
+            t0 = time.monotonic()
+            counts[name] = fn(spark)
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     kg_tps = round(counts["kg_construct"] / timings["kg_construct"]) if timings["kg_construct"] else None

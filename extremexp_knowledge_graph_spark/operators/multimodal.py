@@ -90,22 +90,18 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["media"]) if row["media"] is not None else b""
+            # columnar zip, not iterrows — per-item hashing is inherent but
+            # batch traversal stays O(n) without pandas row-boxing overhead
+            for mid, payload, mime in zip(pdf["media_id"], pdf["media"], pdf["mime"]):
+                payload = bytes(payload) if payload is not None else b""
                 digest = hashlib.md5(payload).hexdigest()
                 feat = [
                     float(int(digest[i * 4 : i * 4 + 4], 16)) / 65535.0 for i in range(dim)
                 ]
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "mime": row["mime"],
-                        "n_bytes": len(payload),
-                        "digest": digest,
-                        "feature": feat,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+                out.append((int(mid), mime, len(payload), digest, feat))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FEATURE_SCHEMA.fields]
+            )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
