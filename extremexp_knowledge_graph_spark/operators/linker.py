@@ -27,15 +27,24 @@ def _tok(col):
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
 
 
-def tfidf_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def tfidf_weights(
+    df: DataFrame, id_col: str, text_col: str, max_df_frac: float | None = None
+) -> DataFrame:
     """(id, tok, w) with w = tf * idf, L2-normalized per id.
 
     idf = ln(N / (1 + df)) + 1 over the *input* corpus; tf = raw count.
+    ``max_df_frac`` drops tokens appearing in more than that fraction of
+    documents from the vocabulary — the boilerplate/stopword guard that
+    keeps the token-keyed aggregation and the cosine join from concentrating
+    on web-scale hot tokens (their idf ≈ 0 contributes ~nothing to the
+    score anyway, so the cap trades negligible signal for bounded skew).
     """
     toks = df.select(F.col(id_col).alias("id"), F.explode(_tok(F.col(text_col))).alias("tok"))
     tf = toks.groupBy("id", "tok").agg(F.count("*").cast("double").alias("tf"))
     n_docs = df.count()
     dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    if max_df_frac is not None:
+        dfreq = dfreq.where(F.col("df") <= F.lit(float(max_df_frac) * n_docs))
     w = tf.join(dfreq, "tok").withColumn(
         "w", F.col("tf") * (F.log(F.lit(float(n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))
     )
@@ -71,15 +80,18 @@ def link_mentions(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.7,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """(doc_id, surface, entity_id, score) — argmax candidate per mention.
 
     score = alpha * cosine(tfidf(doc), tfidf(entity context)) +
             (1-alpha) * prior.
-    Ties break on entity_id for determinism.
+    Ties break on entity_id for determinism. ``max_df_frac`` caps the doc-
+    side TF-IDF vocabulary by document frequency (boilerplate-token skew
+    guard at web scale; see tfidf_weights).
     """
     cands = generate_candidates(docs, aliases, id_col, text_col)
-    doc_w = tfidf_weights(docs, id_col, text_col).withColumnRenamed("id", "doc_id")
+    doc_w = tfidf_weights(docs, id_col, text_col, max_df_frac).withColumnRenamed("id", "doc_id")
     ctx_w = tfidf_weights(
         aliases.select("entity_id", "context").distinct(), "entity_id", "context"
     ).withColumnRenamed("id", "entity_id")

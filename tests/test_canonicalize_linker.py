@@ -115,3 +115,24 @@ def test_link_mentions_prior_breaks_cosine_ties(spark):
     )
     got = link_mentions(docs, aliases).collect()
     assert len(got) == 1 and got[0].entity_id == 1
+
+
+def test_tfidf_max_df_cap_drops_boilerplate_tokens(spark):
+    """Tokens above the document-frequency cap leave the vocabulary (skew
+    guard); rarer tokens keep their weight mass (renormalized)."""
+    from extremexp_knowledge_graph_spark.operators.linker import tfidf_weights
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"boiler common token{i}") for i in range(4)]
+    )
+    uncapped = tfidf_weights(docs, "doc_id", "text")
+    assert uncapped.where(uncapped.tok == "boiler").count() == 4
+    capped = tfidf_weights(docs, "doc_id", "text", max_df_frac=0.5)
+    toks = {r.tok for r in capped.collect()}
+    assert "boiler" not in toks and "common" not in toks
+    assert {f"token{i}" for i in range(4)} <= toks
+    # renormalized: each doc's surviving vector is unit length
+    from pyspark.sql import functions as F
+
+    norms = capped.groupBy("id").agg(F.sqrt(F.sum(capped.w * capped.w)).alias("n")).collect()
+    assert all(abs(r.n - 1.0) < 1e-9 for r in norms)
