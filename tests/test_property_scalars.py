@@ -1,0 +1,103 @@
+"""Hypothesis property tests: Spark scalar kernels vs the pure-Python
+restatements of the reference semantics (same mirrors as test_scalars.py,
+now over generated adversarial inputs instead of a fixed case list).
+
+Each example runs ONE Spark job over the whole generated batch — never a
+job per value.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from extremexp_knowledge_graph_spark.functions.uri import sanitize_for_uri
+from extremexp_knowledge_graph_spark.functions.values import parse_metric_value
+from extremexp_knowledge_graph_spark.functions.year import year_from_pdf_url
+from tests.test_scalars import py_sanitize, py_value, py_year
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# text with the troublemakers over-represented: unicode word chars, ±, %,
+# mixed dashes, whitespace runs, empty
+text_strategy = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=126),
+        st.sampled_from("±%–‐—\t\n äöüñ模型な"),
+    ),
+    max_size=40,
+)
+
+url_strategy = st.one_of(
+    st.builds(
+        lambda yy, mm, n, v: f"https://arxiv.org/pdf/{yy:02d}{mm:02d}.{n:05d}{v}.pdf",
+        st.integers(0, 99),
+        st.integers(0, 13),
+        st.integers(0, 99999),
+        st.sampled_from(["", "v1", "v12"]),
+    ),
+    st.builds(
+        lambda a, y, b: f"https://example.com/{a}{y}{b}",
+        st.text(alphabet="abc/-.", max_size=8),
+        st.integers(1800, 2200),
+        st.text(alphabet="xyz/-.", max_size=8),
+    ),
+    text_strategy,
+)
+
+value_strategy = st.one_of(
+    st.from_regex(r"\d{1,3}\.\d{1,2}%?", fullmatch=True),
+    st.sampled_from(["YES", "197M", "29 ± 3", "1e3", "inf", "nan", "-0.0", " 5 ", "5%", "%"]),
+    text_strategy.filter(lambda s: s != ""),
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(text_strategy, min_size=1, max_size=40))
+def test_sanitize_matches_python_spec(spark, texts):
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(texts)])
+    got = {r.i: r.s for r in df.select("i", sanitize_for_uri(F.col("t")).alias("s")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_sanitize(t), (t, got[i], py_sanitize(t))
+
+
+@settings(**SETTINGS)
+@given(st.lists(text_strategy, min_size=1, max_size=40))
+def test_sanitize_idempotent(spark, texts):
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(texts)])
+    once = df.select("i", sanitize_for_uri(F.col("t")).alias("s"))
+    twice = once.select("i", sanitize_for_uri(F.col("s")).alias("s2"), "s")
+    for r in twice.collect():
+        assert r.s2 == r.s, (r.s, r.s2)
+
+
+@settings(**SETTINGS)
+@given(st.lists(url_strategy, min_size=1, max_size=40))
+def test_year_matches_python_spec(spark, urls):
+    df = spark.createDataFrame([Row(i=i, u=u) for i, u in enumerate(urls)])
+    got = {r.i: r.y for r in df.select("i", year_from_pdf_url(F.col("u")).alias("y")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == py_year(u), (u, got[i], py_year(u))
+
+
+@settings(**SETTINGS)
+@given(st.lists(value_strategy, min_size=1, max_size=40))
+def test_metric_value_matches_python_spec(spark, values):
+    df = spark.createDataFrame([Row(i=i, v=v) for i, v in enumerate(values)])
+    got = {
+        r.i: (r.p.lexical if r.p else None, r.p.datatype if r.p else None)
+        for r in df.select("i", parse_metric_value(F.col("v")).alias("p")).collect()
+    }
+    for i, v in enumerate(values):
+        lex, kind = py_value(v)
+        want_dt = (
+            "http://www.w3.org/2001/XMLSchema#decimal"
+            if kind == "decimal"
+            else "http://www.w3.org/2001/XMLSchema#string"
+        )
+        assert got[i] == (lex, want_dt), (v, got[i], (lex, want_dt))
