@@ -5,9 +5,12 @@
 ``queries()``      — one entry per implemented operator family from
                      SURVEY.md §2 (keys prefixed kg_/text_/dedup_/ann_/
                      sql_/events_ map to operator ids in the docstrings).
-``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalents. Omitted for the
-                     pandas-UDF kernels (simhash, LSH-ANN, multimodal stub)
-                     → driver records rows-only checks for those.
+``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalents. Every query has
+                     one except ann_lsh (its hyperplanes come from numpy's
+                     RNG and sign-of-dot depends on summation order near
+                     zero — not SQL-reproducible bit-exactly) → driver
+                     records a rows-only check for that one. The simhash
+                     pandas-UDF kernel IS oracled (md5 arithmetic in SQL).
 
 Column names are aliased identically on both sides; float results are
 rounded to 6 decimals on both sides; dot products fold left-to-right in
@@ -208,7 +211,7 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup (vectorized numpy kernel — rows-only check)."""
+    """SimHash near-dup (vectorized numpy kernel; oracled bit-exactly in SQL)."""
     from extremexp_knowledge_graph_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16)
@@ -641,6 +644,58 @@ where i.i / (za.sz + zb.sz - i.i)::double >= {threshold}
 
 
 ORACLE["dedup_minhash"] = _minhash_oracle(8, 4, 0.5)
+
+# SimHash in pure SQL: md5-hex → uint64 via arithmetic hex parse (list_reduce
+# keeps uhugeint — list_sum/sum would round through DOUBLE and corrupt low
+# bits), per-bit majority vote, bit_or-assembled signature (disjoint powers),
+# two's-complement to BIGINT to match the kernel's int64 output, then the
+# same 4×16-bit-chunk banding join + Hamming verify as simhash_near_pairs.
+# (Whitespace-only texts would differ — kernel emits 0, SQL drops the doc —
+# but the corpus has none; NULL texts are dropped by both.)
+ORACLE["dedup_simhash"] = r"""
+with toks as (
+  select doc_id, tok from (
+    select doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) as tok
+    from documents where text is not null)
+  where tok <> ''
+),
+hashes as (
+  select doc_id, tok,
+    list_reduce(list_transform(range(1, 17),
+      p -> (strpos('0123456789abcdef', substr(md5(tok), p, 1))::uhugeint - 1::uhugeint)
+           * (1::uhugeint << (4*(16-p))::uhugeint) ), (x, y) -> x + y)::uhugeint as h
+  from toks
+),
+bits as (
+  select doc_id, i,
+    sum( ((h >> i::uhugeint) & 1::uhugeint)::hugeint ) * 2 - count(*) as vote
+  from hashes cross join (select unnest(range(64)) as i)
+  group by doc_id, i
+),
+sigs as (
+  select doc_id,
+    bit_or(case when vote > 0 then (1::uhugeint << i::uhugeint) else 0::uhugeint end)::uhugeint as usig
+  from bits group by doc_id
+),
+final as (
+  select doc_id,
+    (case when usig >= 9223372036854775808::uhugeint
+          then usig::hugeint - 18446744073709551616::hugeint
+          else usig::hugeint end)::bigint as simhash,
+    usig
+  from sigs
+),
+chunks as (
+  select doc_id, simhash, k, ((usig >> (16*k)::uhugeint) & 65535::uhugeint)::bigint as chunk
+  from final cross join (select unnest(range(4)) as k)
+),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b, a.simhash as sig_a, b.simhash as sig_b
+  from chunks a join chunks b on a.k = b.k and a.chunk = b.chunk and a.doc_id < b.doc_id
+)
+select id_a, id_b, bit_count(xor(sig_a, sig_b))::int as hamming
+from cand where bit_count(xor(sig_a, sig_b)) <= 16
+"""
 
 ORACLE["dedup_ngram_jaccard"] = rf"""
 with {_SHINGLES_CTE},
