@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from extremexp_knowledge_graph_spark.schema import EX2, RDFS_NS, RDF_TYPE, TRIPLE_SCHEMA
+from extremexp_knowledge_graph_spark.schema import EX2, RDFS_NS, RDF_TYPE
 
 RDFS_LABEL = RDFS_NS + "label"
 SVO_VERBS = ["is", "has", "contains", "includes", "uses", "implements"]

@@ -21,8 +21,6 @@ container, and nothing can be downloaded). The semantics exercised by tests
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -95,6 +93,50 @@ def merge_triples(spark: SparkSession, new_triples: DataFrame, path: str, n_buck
     if n:
         with_layout(incoming, n_buckets).write.mode("append").partitionBy("subj_bucket").parquet(path)
     return n
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_records_per_file: int = 2_000_000,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite the store so each bucket holds few
+    right-sized files instead of one file per historical merge batch.
+
+    Every ``merge_triples`` append adds ≥1 file per touched bucket, so a
+    store that has absorbed thousands of incremental batches degrades into
+    millions of tiny files — scan planning and footer reads come to dominate
+    (the classic streaming-ingest failure mode). This is the plain-parquet
+    analogue of Iceberg's ``rewrite_data_files`` maintenance action, minus
+    the snapshot isolation Iceberg would give the swap.
+
+    Rewrites into ``path + ".compacting"`` then atomically swaps directories
+    (rename), so a crash before the swap leaves the original store intact.
+    Returns (files_before, files_after).
+    """
+    import glob
+    import os
+    import shutil
+
+    files_before = len(glob.glob(os.path.join(path, "*", "*.parquet")))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    (
+        df.repartition(n_buckets, F.col("subj_bucket"))
+        .sortWithinPartitions("subj")  # clustering: subject point-lookups prune row groups
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("subj_bucket")
+        .parquet(tmp)
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = len(glob.glob(os.path.join(path, "*", "*.parquet")))
+    return files_before, files_after
 
 
 def snapshot(spark: SparkSession, path: str, snapshot_path: str) -> str:

@@ -11,7 +11,7 @@ the store's subject bucketing makes it co-located.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from extremexp_knowledge_graph_spark.schema import (

@@ -112,3 +112,27 @@ def test_streaming_ingest_with_quarantine(spark, tmp_path):
     after = kg_store.read_triples(spark, store)
     assert after.where(F.col("obj") == "Second Paper").count() == 1
     assert after.count() == n_before + 2  # type + title triples only
+
+
+def test_store_compaction(spark, tmp_path):
+    """compact() collapses per-merge file fragments; content unchanged;
+    crash-safety: original dir intact until the atomic swap."""
+    from extremexp_knowledge_graph_spark.plans.kg_store import compact, merge_triples, read_triples
+    from extremexp_knowledge_graph_spark.schema import TRIPLE_SCHEMA
+
+    store = str(tmp_path / "cstore")
+    # 5 incremental merges → many small files across buckets
+    for b in range(5):
+        rows = [
+            (f"http://example.org/s{b}_{i}", "http://example.org/p", f"v{b}_{i}", False, None, None)
+            for i in range(200)
+        ]
+        merge_triples(spark, spark.createDataFrame(rows, TRIPLE_SCHEMA), store)
+    before_rows = {(r.subj, r.obj) for r in read_triples(spark, store).collect()}
+    fb, fa = compact(spark, store)
+    assert fa < fb, (fb, fa)
+    after_rows = {(r.subj, r.obj) for r in read_triples(spark, store).collect()}
+    assert after_rows == before_rows and len(after_rows) == 1000
+    # still mergeable after compaction (layout preserved)
+    extra = [("http://example.org/new", "http://example.org/p", "nv", False, None, None)]
+    assert merge_triples(spark, spark.createDataFrame(extra, TRIPLE_SCHEMA), store) == 1
