@@ -217,6 +217,19 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16)
 
 
+def _q_kg_canonicalize(spark, sf_dir):
+    """S3 canonicalization end-to-end (E1 web mode): MinHash-LSH blocking →
+    Jaccard verify → connected components → canonical id per entity. Driven
+    over the documents table (text = surface form); oracle replicates the
+    blocking SQL and resolves components with a recursive CTE."""
+    from extremexp_knowledge_graph_spark.operators.canonicalize import canonicalize_entities
+
+    ents = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("entity_id"), F.col("text").alias("name")
+    )
+    return canonicalize_entities(ents, threshold=0.5, num_hashes=8, bands=4, shingle_n=3)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs within the corpus (exact all-pairs
     mode — the oracle path; n_planes>0 switches to LSH blocking at scale)."""
@@ -332,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "kg_canonicalize": _q_kg_canonicalize,
         "ann_topk": _q_ann_topk,
         "ann_threshold": _q_ann_threshold,
         "ann_lsh": _q_ann_lsh,
@@ -644,6 +658,33 @@ where i.i / (za.sz + zb.sz - i.i)::double >= {threshold}
 
 
 ORACLE["dedup_minhash"] = _minhash_oracle(8, 4, 0.5)
+
+# Canonicalization: same LSH-blocked Jaccard pairs as dedup_minhash, then
+# connected components as a recursive transitive-closure CTE (components are
+# tiny near-cliques by construction, so closure is cheap in the oracle even
+# though the engine uses log-round label propagation at scale). canonical =
+# min(id) over the component; singletons map to themselves.
+_MINHASH_PAIRS = _minhash_oracle(8, 4, 0.5)
+ORACLE["kg_canonicalize"] = rf"""
+with recursive pairs as (
+  select id_a, id_b from ({_MINHASH_PAIRS})
+),
+sym as (
+  select id_a as a, id_b as b from pairs
+  union
+  select id_b, id_a from pairs
+),
+reach(a, b) as (
+  select a, b from sym
+  union
+  select r.a, s.b from reach r join sym s on r.b = s.a
+),
+comp as (
+  select a as entity_id, least(a, min(b)) as canonical_id from reach group by a
+)
+select d.doc_id as entity_id, coalesce(c.canonical_id, d.doc_id) as canonical_id
+from documents d left join comp c on c.entity_id = d.doc_id
+"""
 
 # SimHash in pure SQL: md5-hex → uint64 via arithmetic hex parse (list_reduce
 # keeps uhugeint — list_sum/sum would round through DOUBLE and corrupt low
