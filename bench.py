@@ -141,7 +141,7 @@ def main():
     queries = build_queries(sf_dir)
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name, fn in queries.items():
         best = None
         for _ in range(repeats):  # best-of-N: single-JVM runs are noisy
