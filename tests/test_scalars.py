@@ -156,3 +156,22 @@ def test_sanitize_idempotent(spark):
     once = df.select(sanitize_for_uri(F.col("x")).alias("s"))
     twice = once.select(sanitize_for_uri(F.col("s")).alias("s"))
     assert [r.s for r in once.collect()] == [r.s for r in twice.collect()]
+
+
+def test_validate_triples_strict_char_gate(spark):
+    """B5 (src/utils.py:116-142, opt-in): strict mode drops s/p/o containing
+    <>"\\ or control chars or shorter than 2; B4 alone keeps them."""
+    from extremexp_knowledge_graph_spark.operators.papers_to_triples import validate_triples
+    from extremexp_knowledge_graph_spark.schema import TRIPLE_SCHEMA
+
+    rows = [
+        ("http://e/s", "http://e/p", "fine", False, None, None),
+        ("http://e/s", "http://e/p", 'has"quote', False, None, None),
+        ("http://e/s", "http://e/p", "tab\there", False, None, None),
+        ("http://e/s", "http://e/p", "x", False, None, None),
+        ("", "http://e/p", "dropped by B4 too", False, None, None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    assert validate_triples(df).count() == 4          # B4: only empty-subj dropped
+    got = validate_triples(df, strict=True).collect() # B5: char/length gate
+    assert len(got) == 1 and got[0].obj == "fine"
