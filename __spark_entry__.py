@@ -5,12 +5,12 @@
 ``queries()``      — one entry per implemented operator family from
                      SURVEY.md §2 (keys prefixed kg_/text_/dedup_/ann_/
                      sql_/events_ map to operator ids in the docstrings).
-``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalents. Every query has
-                     one except ann_lsh (its hyperplanes come from numpy's
-                     RNG and sign-of-dot depends on summation order near
-                     zero — not SQL-reproducible bit-exactly) → driver
-                     records a rows-only check for that one. The simhash
-                     pandas-UDF kernel IS oracled (md5 arithmetic in SQL).
+``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalents for EVERY query,
+                     including the pandas-UDF kernels: simhash via md5
+                     arithmetic in SQL, LSH-ANN via the hyperplane constants
+                     embedded as float64 literals (sign-of-dot is
+                     numerically safe: min |dot| ≈ 6e-5 on this corpus vs
+                     ~1e-15 fold-order error).
 
 Column names are aliased identically on both sides; float results are
 rounded to 6 decimals on both sides; dot products fold left-to-right in
@@ -260,7 +260,7 @@ def _q_ann_threshold(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate ANN (scale path — rows-only check).
+    """LSH-bucketed approximate ANN (scale path; fully oracled in SQL).
 
     4 planes × 8 tables: coarse buckets (2^4 per table) trade candidate-set
     size for recall — measured ~0.76 top-5 recall vs brute force on the
@@ -781,6 +781,64 @@ select a.vec_id as id_a, b.vec_id as id_b, {_COS_AB_SQL} as score
 from embeddings a join embeddings b on a.vec_id < b.vec_id
 where {_COS_AB_SQL} >= 0.4
 """
+
+def _ann_lsh_oracle(k: int = 5, dim: int = 64, n_planes: int = 4, n_tables: int = 8, seed: int = 7) -> str:
+    """Full SQL replica of lsh_ann_topk: the hyperplane constants are
+    embedded as literals (repr round-trips float64 exactly), sign-of-dot is
+    numerically safe on this corpus (min |dot| ≈ 6e-5 vs ~1e-15 fold-order
+    error — measured), and the rerank reuses the left-to-right cosine fold
+    that ann_topk already hash-matches."""
+    from extremexp_knowledge_graph_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, w in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            arr = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+            rows.append(f"({t}, {p}, {arr}::double[])")
+    planes_values = ",\n".join(rows)
+    dot = (
+        "list_reduce(list_transform(range(1, len(e.embedding)+1),"
+        " i -> e.embedding[i]::DOUBLE * p.w[i]), (x,y) -> x+y)"
+    )
+    return rf"""
+with planes(tbl, plane, w) as (values
+{planes_values}
+),
+buckets as (
+  select e.vec_id, e.embedding, p.tbl,
+         string_agg(case when {dot} >= 0 then '1' else '0' end, '' order by p.plane) as bucket
+  from embeddings e cross join planes p
+  group by e.vec_id, e.embedding, p.tbl
+),
+cand as (
+  select distinct c.vec_id, c.embedding as c_emb, q.vec_id as query_id, q.embedding as q_emb
+  from buckets c
+  join (select * from buckets where vec_id < 10) q
+    on c.tbl = q.tbl and c.bucket = q.bucket
+  where c.vec_id <> q.vec_id
+),
+scored as (
+  select query_id, vec_id,
+    round(
+      list_reduce(list_transform(range(1, len(c_emb)+1),
+          i -> c_emb[i]::DOUBLE * q_emb[i]::DOUBLE), (x,y) -> x+y)
+      / (sqrt(list_reduce(list_transform(range(1, len(c_emb)+1),
+          i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE), (x,y) -> x+y))
+       * sqrt(list_reduce(list_transform(range(1, len(q_emb)+1),
+          i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE), (x,y) -> x+y)))
+    , 6) as score
+  from cand
+),
+ranked as (
+  select query_id, vec_id, score,
+         row_number() over (partition by query_id order by score desc, vec_id asc) as rnk
+  from scored
+)
+select query_id, vec_id, score, rnk::int as rnk from ranked where rnk <= {k}
+"""
+
+
+ORACLE["ann_lsh"] = _ann_lsh_oracle(5, 64, 4, 8, 7)
 
 ORACLE["ann_topk"] = rf"""
 with scored as (
