@@ -87,11 +87,21 @@ def merge_triples(spark: SparkSession, new_triples: DataFrame, path: str, n_buck
             c = F.col(f"inc.{k}").eqNullSafe(F.col(f"ex.{k}"))
             cond = c if cond is None else (cond & c)
         incoming = inc.join(ex, cond, "left_anti")
-    # two passes over `incoming` (count + write): keep it cheap to recompute
-    incoming = incoming.localCheckpoint()
+    # Two passes over `incoming` (count + write). Stage to disk rather than
+    # localCheckpoint(): block-manager materialization of an unbounded batch
+    # OOMs once the batch outgrows executor heap (seen at 100k pages), while
+    # a parquet staging dir scales with disk and costs one extra sequential
+    # write of exactly the merged delta.
+    import shutil
+
+    staging = path.rstrip("/") + ".merge_staging"
+    schema = incoming.schema
+    incoming.write.mode("overwrite").parquet(staging)
+    incoming = spark.read.schema(schema).parquet(staging)
     n = incoming.count()
     if n:
         with_layout(incoming, n_buckets).write.mode("append").partitionBy("subj_bucket").parquet(path)
+    shutil.rmtree(staging, ignore_errors=True)
     return n
 
 

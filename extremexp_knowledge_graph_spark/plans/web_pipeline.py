@@ -193,7 +193,17 @@ def run_web_pipeline(
             linked = spark.read.parquet(linked_path).join(
                 todo.select("doc_id").distinct(), "doc_id", "left_semi"
             )
-            triples = _materialize_triples(todo, linked, emap).persist()
+            # Stage the materialized triples to disk, not to executor memory:
+            # persist()-ing an unbounded dataset OOMs the moment the batch
+            # outgrows the heap (seen at 100k pages under spark-submit's
+            # default driver heap) — disk staging is the only cache that
+            # scales with data, and it doubles as the natural Iceberg
+            # staging-table shape on a real deployment.
+            import shutil
+
+            staging = f"{out_dir}/_staging_s4"
+            _materialize_triples(todo, linked, emap).write.mode("overwrite").parquet(staging)
+            triples = spark.read.parquet(staging)
             # per-bucket triple counts (lineage metric): prov carries doc_id
             prov_bucket = todo.select(
                 F.col("doc_id").cast("string").alias("prov"), "url_bucket"
@@ -202,7 +212,7 @@ def run_web_pipeline(
                 triples.join(prov_bucket, "prov").select("url_bucket")
             )
             n_new = kg_store.merge_triples(spark, triples, store_path)
-            triples.unpersist()
+            shutil.rmtree(staging, ignore_errors=True)
             _record(
                 spark, man, S4, in_counts, out_counts,
                 int((time.monotonic() - t0) * 1000), list(in_counts),
