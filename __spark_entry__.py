@@ -312,6 +312,27 @@ def _q_sql_top_customers(spark, sf_dir):
     )
 
 
+def _q_sql_sales_rollup(spark, sf_dir):
+    """Grouping-sets surface: ROLLUP over (returnflag, linestatus) with
+    grand total — NULL group keys rendered as 'ALL' so the value-hash is
+    well-defined on both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     """Windowed aggregation shape (streaming-equivalent batch plan)."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -351,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "sql_pricing_summary": _q_sql_pricing_summary,
         "sql_top_customers": _q_sql_top_customers,
+        "sql_sales_rollup": _q_sql_sales_rollup,
         "events_hourly": _q_events_hourly,
     }
 
@@ -879,6 +901,16 @@ from orders join customer on o_custkey = c_custkey
 group by c_custkey, c_name
 order by revenue desc, c_custkey asc
 limit 20
+"""
+
+ORACLE["sql_sales_rollup"] = """
+select coalesce(l_returnflag, 'ALL') as returnflag,
+       coalesce(l_linestatus, 'ALL') as linestatus,
+       count(*)::bigint as n,
+       round(sum(l_quantity::decimal(18,6))::double, 2) as sum_qty
+from lineitem
+where l_shipdate <= '1998-09-02'
+group by rollup(l_returnflag, l_linestatus)
 """
 
 ORACLE["events_hourly"] = """
