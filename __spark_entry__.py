@@ -276,6 +276,21 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, relational Lloyd iterations).
+    Rows-only check: centroids are iterative float averages whose summation
+    order is engine-specific, so assignments near Voronoi boundaries are not
+    SQL-reproducible bit-exactly (correctness is pinned by
+    tests/test_dedup_similarity.py: probing all lists == brute force)."""
+    from extremexp_knowledge_graph_spark.operators.similarity import ivf_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_ann_topk(emb, queries, k=5, nlist=16, nprobe=4, iters=3)
+
+
 def _q_sql_pricing_summary(spark, sf_dir):
     """G5-G7 relational surface: TPC-H Q1-shaped agg over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -370,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_threshold": _q_ann_threshold,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "sql_pricing_summary": _q_sql_pricing_summary,
         "sql_top_customers": _q_sql_top_customers,
         "sql_sales_rollup": _q_sql_sales_rollup,

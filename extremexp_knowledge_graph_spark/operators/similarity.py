@@ -154,6 +154,124 @@ def embedding_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer
+# ---------------------------------------------------------------------------
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 5,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means as DataFrame aggregations (deterministic: seeded init
+    from a hash-ordered sample, fixed iteration count).
+
+    Expressed relationally so it scales like any other agg: each iteration
+    is one assign (map-side, broadcast centroids in the plan) + one
+    groupBy(centroid).avg shuffle of nlist groups. No spark.ml dependency,
+    no driver-side data loops — only the (nlist × dim) centroid matrix ever
+    reaches the driver.
+    """
+    init = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [list(map(float, r.v)) for r in init]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            _nearest_centroid_col(F.col(vec_col), centroids).alias("c"),
+        )
+        agg = (
+            assigned.select("c", F.posexplode("v").alias("i", "x"))
+            .groupBy("c", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("c")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
+            .select("c", F.transform("dims", lambda d: d["m"]).alias("centroid"))
+            .collect()
+        )
+        new = {r.c: list(map(float, r.centroid)) for r in agg}
+        centroids = [new.get(c, centroids[c]) for c in range(len(centroids))]
+    return centroids
+
+
+def _centroid_rank_udf(centroids: list[list[float]], n: int):
+    """Arrow kernel: the ``n`` nearest centroid ids per vector, by squared
+    distance (−2·V·Cᵀ + ‖C‖², ‖v‖² drops out), one matmul per batch.
+
+    Same lesson as the LSH buckets: a chained when()-expression over
+    nlist × dim literals explodes Catalyst analysis/codegen (minutes at
+    nlist=16, dim=64), while the matmul is a single BLAS call."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (nlist, dim)
+    c_sq = (C * C).sum(axis=1)  # (nlist,)
+
+    @pandas_udf("array<int>")
+    def _rank(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # (N, dim)
+        d = -2.0 * (V @ C.T) + c_sq  # (N, nlist)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return _rank
+
+
+def _nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
+    return _centroid_rank_udf(centroids, 1)(vec)[0]
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus vectors to their nearest of
+    ``nlist`` centroids (the inverted lists), probe each query's ``nprobe``
+    nearest lists, exact-cosine rerank within the probed candidates.
+
+    The corpus shuffles once on list id; queries are broadcast with their
+    probe set. recall/cost knob = nprobe/nlist (nprobe=nlist degenerates to
+    brute force). At 10^9 vectors nlist is ~√N and the fit runs on a sample.
+    """
+    cents = ivf_fit_centroids(corpus, nlist, iters, seed, vec_col)
+    c_assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), _nearest_centroid_col(F.col(vec_col), cents).alias("lst")
+    )
+    # per-query probe lists: nprobe nearest centroids (same Arrow kernel)
+    q_probed = queries.select(
+        F.col(q_id_col),
+        F.col(q_vec_col),
+        F.explode(_centroid_rank_udf(cents, nprobe)(F.col(q_vec_col))).alias("lst"),
+    )
+    cand = c_assigned.join(F.broadcast(q_probed), "lst").where(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "score", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Random-hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:

@@ -173,3 +173,42 @@ def test_lsh_ann_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    """IVF top-k: decent recall vs brute force at nprobe=nlist/2; exact
+    equality to brute force when probing every list (degenerate case);
+    deterministic across partitionings."""
+    import numpy as np
+
+    from extremexp_knowledge_graph_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    # clustered corpus so the coarse quantizer has structure to find
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + rng.standard_normal(16) * 0.5
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 8").selectExpr("vec_id as query_id", "embedding as q_embedding")
+
+    bf = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in ivf_ann_topk(emb, q, k=5, nlist=8, nprobe=4).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.6, recall
+
+    # probing all lists ⇒ identical to brute force
+    full = {(r.query_id, r.vec_id, r.score, r.rnk)
+            for r in ivf_ann_topk(emb, q, k=5, nlist=8, nprobe=8).collect()}
+    bf_full = {(r.query_id, r.vec_id, r.score, r.rnk)
+               for r in brute_force_topk(emb, q, k=5).collect()}
+    assert full == bf_full
+
+    # partitioning-invariant
+    ivf2 = {(r.query_id, r.vec_id)
+            for r in ivf_ann_topk(emb.repartition(13), q, k=5, nlist=8, nprobe=4).collect()}
+    assert ivf2 == ivf
