@@ -107,6 +107,7 @@ def build_queries(sf_dir: str):
         "dedup_exact": from_entry("dedup_exact"),
         "dedup_minhash": from_entry("dedup_minhash"),
         "dedup_simhash": from_entry("dedup_simhash"),
+        "kg_canonicalize": from_entry("kg_canonicalize"),
         "ann_topk": from_entry("ann_topk"),
         "ann_lsh": from_entry("ann_lsh"),
         "text_stats": from_entry("text_stats"),
