@@ -177,6 +177,18 @@ def _q_text_topk_per_lang(spark, sf_dir):
     )
 
 
+def _q_text_token_counts(spark, sf_dir):
+    """Token counting two ways (training-data length budgeting): whitespace
+    split and the BPE-ish GPT-2-style pre-tokenizer piece count."""
+    from extremexp_knowledge_graph_spark.functions import text as T
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def _q_text_lang_id(spark, sf_dir):
     from extremexp_knowledge_graph_spark.functions import text as T
 
@@ -374,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_doc_mention_stats": _q_kg_doc_mention_stats,
         "text_stats": _q_text_stats,
         "text_topk_per_lang": _q_text_topk_per_lang,
+        "text_token_counts": _q_text_token_counts,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -613,6 +626,15 @@ select lang, doc_id, quality, rnk from (
 where rnk <= 3
 """
 )
+
+ORACLE["text_token_counts"] = r"""
+select doc_id,
+  len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))::bigint as n_ws_tokens,
+  len(list_filter(
+    regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'),
+    p -> not regexp_matches(p, '^\s+$')))::bigint as n_bpe_tokens
+from documents
+"""
 
 ORACLE["text_lang_id"] = r"""
 with c as (

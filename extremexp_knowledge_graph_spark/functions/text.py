@@ -29,8 +29,32 @@ LANG_ORDER = ["en", "de", "es", "fr"]
 STOPWORDS = ["the", "a", "and", "is", "of", "to", "in", "it", "that", "for"]
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs both Java
+#: regex and RE2 (DuckDB) support (no lookahead): contractions, space-glued
+#: letter runs, digit runs, punctuation runs, whitespace runs. Counting
+#: these pieces approximates BPE token counts well enough for length
+#: filtering/budgeting without a merges table.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate BPE token count: pieces matched by the GPT-2-style
+    pre-tokenizer regex, minus pure-whitespace pieces (they merge into the
+    following token in real BPE). Whitespace-split word count is the other
+    bound; both are cheap native expressions."""
+    pieces = F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0)
+    return F.size(F.filter(pieces, lambda p: ~p.rlike(r"^\s+$"))).cast("long")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Plain whitespace-split token count (empty/blank → 0)."""
+    return F.size(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    ).cast("long")
 
 
 def token_count(text: Column) -> Column:

@@ -175,3 +175,34 @@ def test_validate_triples_strict_char_gate(spark):
     assert validate_triples(df).count() == 4          # B4: only empty-subj dropped
     got = validate_triples(df, strict=True).collect() # B5: char/length gate
     assert len(got) == 1 and got[0].obj == "fine"
+
+
+def test_token_counters(spark):
+    """Whitespace vs BPE-ish piece counts on contraction/punct/unicode cases."""
+    from pyspark.sql import Row
+
+    from extremexp_knowledge_graph_spark.functions.text import (
+        bpe_ish_token_count,
+        whitespace_token_count,
+    )
+
+    cases = [
+        ("hello world", 2, 2),
+        ("don't stop", 2, 3),          # don / 't / stop
+        ("a,b", 1, 3),                 # a / , / b
+        ("  padded   runs  ", 2, 2),
+        ("naïve café", 2, 2),          # unicode letters stay one piece
+        ("x2 42", 2, 3),               # x / 2 / 42 (digit runs split off)
+        ("", 0, 0),
+    ]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, (t, _, _) in enumerate(cases)])
+    got = {
+        r.i: (r.ws, r.bpe)
+        for r in df.select(
+            "i",
+            whitespace_token_count(F.col("t")).alias("ws"),
+            bpe_ish_token_count(F.col("t")).alias("bpe"),
+        ).collect()
+    }
+    for i, (t, ws, bpe) in enumerate(cases):
+        assert got[i] == (ws, bpe), (t, got[i], (ws, bpe))
