@@ -48,14 +48,34 @@ def write_triples(triples: DataFrame, path: str, mode: str = "overwrite", n_buck
     with_layout(triples, n_buckets).write.mode(mode).partitionBy("subj_bucket").parquet(path)
 
 
+def _recover_interrupted_compact(path: str) -> None:
+    """Crash recovery for ``compact()``'s two-rename swap: if a crash hit
+    between renaming the live store to ``.old`` and the compacted directory
+    into place, the store is momentarily absent at ``path`` — restore
+    whichever complete copy survives (prefer the compacted one)."""
+    import os
+
+    if os.path.isdir(path):
+        return
+    tmp = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    # _SUCCESS marks a complete Spark write; a partial .compacting dir loses
+    if os.path.isdir(tmp) and os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, path)
+    elif os.path.isdir(old):
+        os.rename(old, path)
+
+
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
     """A7: the store scan — replaces the SPARQL-over-HTTP result pager
     (src/fuseki_client.py:134-153). Missing/empty table reads as an empty
-    typed frame (like an empty SQL table, not an error)."""
+    typed frame (like an empty SQL table, not an error). Heals an
+    interrupted ``compact()`` swap before reading."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from extremexp_knowledge_graph_spark.schema import TRIPLE_SCHEMA
 
+    _recover_interrupted_compact(path)
     try:
         return spark.read.parquet(path).drop("subj_bucket")
     except AnalysisException:
@@ -121,14 +141,20 @@ def compact(
     analogue of Iceberg's ``rewrite_data_files`` maintenance action, minus
     the snapshot isolation Iceberg would give the swap.
 
-    Rewrites into ``path + ".compacting"`` then atomically swaps directories
-    (rename), so a crash before the swap leaves the original store intact.
-    Returns (files_before, files_after).
+    Rewrites into ``path + ".compacting"`` then swaps directories with two
+    sequential renames. The swap is NOT one atomic operation: a crash (or a
+    concurrent reader racing the swap) can observe a moment with no store at
+    ``path`` — ``_recover_interrupted_compact`` (run here and by
+    ``read_triples``) heals that by restoring whichever complete copy
+    survives. True snapshot-isolated swaps are what the Iceberg catalog
+    commit provides on a real deployment. Returns (files_before,
+    files_after).
     """
     import glob
     import os
     import shutil
 
+    _recover_interrupted_compact(path)
     files_before = len(glob.glob(os.path.join(path, "*", "*.parquet")))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compacting"

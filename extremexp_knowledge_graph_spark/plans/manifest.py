@@ -24,10 +24,43 @@ from extremexp_knowledge_graph_spark.schema import MANIFEST_SCHEMA
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    from extremexp_knowledge_graph_spark.plans.kg_store import _recover_interrupted_compact
+
+    _recover_interrupted_compact(path)
     try:
         return spark.read.parquet(path)
     except Exception:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def compact_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Rewrite the manifest as one right-sized file.
+
+    Every ``append_manifest`` adds a tiny parquet file; a long-lived
+    incremental deployment accumulates thousands (same failure mode as
+    store small-files, ``kg_store.compact``). The manifest is driver-scale
+    metadata (one row per stage×partition), so a single coalesced file is
+    always right-sized. Same two-rename swap + recovery discipline as the
+    store compactor. Returns (files_before, files_after).
+    """
+    import glob
+    import os
+    import shutil
+
+    from extremexp_knowledge_graph_spark.plans.kg_store import _recover_interrupted_compact
+
+    _recover_interrupted_compact(path)
+    files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    if not files_before:
+        return 0, 0
+    tmp = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    spark.read.parquet(path).coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return files_before, len(glob.glob(os.path.join(path, "*.parquet")))
 
 
 def append_manifest(spark: SparkSession, path: str, rows: list[dict]) -> None:

@@ -59,12 +59,20 @@ def _bucketed(df: DataFrame, key: str, n: int) -> DataFrame:
     return df.withColumn("url_bucket", F.pmod(F.xxhash64(key), F.lit(n)))
 
 
-def _pending(spark: SparkSession, man_path: str, stage: str, df: DataFrame) -> tuple[DataFrame, int]:
+def _pending(
+    spark: SparkSession, man_path: str, stage: str, df: DataFrame
+) -> tuple[DataFrame, list[int]]:
     """Filter df to buckets not yet done for ``stage``; one broadcast semi-join."""
     keys = df.select(F.col("url_bucket").cast("string").alias("partition_key")).distinct()
     pend = manifest.pending_keys(spark, man_path, stage, keys)
-    pend_list = [r.partition_key for r in pend.collect()]  # bucket ids: small by design
-    return df.where(F.col("url_bucket").cast("string").isin(pend_list)), len(pend_list)
+    pend_list = [int(r.partition_key) for r in pend.collect()]  # bucket ids: small by design
+    return df.where(F.col("url_bucket").isin(pend_list)), pend_list
+
+
+def _read_buckets(spark: SparkSession, path: str, buckets: list[int]) -> DataFrame:
+    """Read only the given ``url_bucket`` partitions — the filter is a
+    partition-pruning predicate, so cost is O(delta), never O(store)."""
+    return spark.read.parquet(path).where(F.col("url_bucket").isin(buckets))
 
 
 def _bucket_counts(df: DataFrame, out_col: str = "rows_out") -> dict[str, int]:
@@ -134,11 +142,17 @@ def run_web_pipeline(
     stats: dict[str, dict] = {}
 
     # ---- S1 EXTRACT: pages → docs(url, doc_id, text, lang, url_bucket) ----
+    # Pending buckets are written with DYNAMIC partition overwrite, not
+    # append: a crash between the parquet write and the manifest _record()
+    # makes the resume re-run the same buckets, and overwrite-by-partition
+    # replaces (never duplicates) their rows — S1/S2 are idempotent like S4's
+    # set-merge. Lineage counts read back ONLY the just-written partitions
+    # (partition pruning), so bookkeeping cost is O(delta), not O(store).
     if S1 in stages:
         t0 = time.monotonic()
         src = _bucketed(pages, "url", n_url_buckets)
-        todo, n_pend = _pending(spark, man, S1, src)
-        if n_pend:
+        todo, pend = _pending(spark, man, S1, src)
+        if pend:
             in_counts = _bucket_counts(todo)
             docs = todo.select(
                 "url",
@@ -147,31 +161,41 @@ def run_web_pipeline(
                 "lang",
                 "url_bucket",
             )
-            docs.write.mode("append").partitionBy("url_bucket").parquet(docs_path)
-            out_counts = _bucket_counts(spark.read.parquet(docs_path))
+            (
+                docs.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("url_bucket")
+                .parquet(docs_path)
+            )
+            out_counts = _bucket_counts(_read_buckets(spark, docs_path, pend))
             _record(
                 spark, man, S1, in_counts, out_counts,
                 int((time.monotonic() - t0) * 1000), list(in_counts),
             )
-        stats[S1] = {"pending_buckets": n_pend, "wall_s": round(time.monotonic() - t0, 3)}
+        stats[S1] = {"pending_buckets": len(pend), "wall_s": round(time.monotonic() - t0, 3)}
 
     # ---- S2 LINK: docs → linked(doc_id, surface, entity_id, score) ----
     if S2 in stages:
         t0 = time.monotonic()
         docs = spark.read.parquet(docs_path)
-        todo, n_pend = _pending(spark, man, S2, docs)
-        if n_pend:
+        todo, pend = _pending(spark, man, S2, docs)
+        if pend:
             in_counts = _bucket_counts(todo)
             linked = link_mentions(todo, aliases).join(
                 todo.select("doc_id", "url_bucket"), "doc_id"
             )
-            linked.write.mode("append").partitionBy("url_bucket").parquet(linked_path)
-            out_counts = _bucket_counts(spark.read.parquet(linked_path))
+            (
+                linked.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("url_bucket")
+                .parquet(linked_path)
+            )
+            out_counts = _bucket_counts(_read_buckets(spark, linked_path, pend))
             _record(
                 spark, man, S2, in_counts, out_counts,
                 int((time.monotonic() - t0) * 1000), list(in_counts),
             )
-        stats[S2] = {"pending_buckets": n_pend, "wall_s": round(time.monotonic() - t0, 3)}
+        stats[S2] = {"pending_buckets": len(pend), "wall_s": round(time.monotonic() - t0, 3)}
 
     # ---- S3 CANONICALIZE: linked surface forms → entity_map ----
     if S3 in stages:
@@ -186,11 +210,14 @@ def run_web_pipeline(
     if S4 in stages:
         t0 = time.monotonic()
         docs = spark.read.parquet(docs_path)
-        todo, n_pend = _pending(spark, man, S4, docs)
+        todo, pend = _pending(spark, man, S4, docs)
+        n_pend = len(pend)
         if n_pend:
             in_counts = _bucket_counts(todo)
             emap = spark.read.parquet(entity_map_path)
-            linked = spark.read.parquet(linked_path).join(
+            # bucket filter prunes the linked scan to pending partitions; the
+            # semi-join stays as the row-exact guard within them
+            linked = _read_buckets(spark, linked_path, pend).join(
                 todo.select("doc_id").distinct(), "doc_id", "left_semi"
             )
             # Stage the materialized triples to disk, not to executor memory:
@@ -204,7 +231,11 @@ def run_web_pipeline(
             staging = f"{out_dir}/_staging_s4"
             _materialize_triples(todo, linked, emap).write.mode("overwrite").parquet(staging)
             triples = spark.read.parquet(staging)
-            # per-bucket triple counts (lineage metric): prov carries doc_id
+            # per-bucket triple counts (lineage metric): prov carries doc_id.
+            # NOTE: rdf:type entity triples are minted with prov=NULL (no
+            # single originating document), so per-bucket rows_out counts
+            # document-attributable triples only — the store merge's return
+            # value (new_triples) is the total including prov-null rows.
             prov_bucket = todo.select(
                 F.col("doc_id").cast("string").alias("prov"), "url_bucket"
             ).distinct()

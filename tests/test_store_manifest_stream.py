@@ -136,3 +136,40 @@ def test_store_compaction(spark, tmp_path):
     # still mergeable after compaction (layout preserved)
     extra = [("http://example.org/new", "http://example.org/p", "nv", False, None, None)]
     assert merge_triples(spark, spark.createDataFrame(extra, TRIPLE_SCHEMA), store) == 1
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A crash between compact()'s two renames leaves no store at `path`;
+    read_triples/compact heal it from whichever complete copy survives."""
+    path = str(tmp_path / "rstore")
+    t = _triples_df(spark, [(f"s{i}", "p", f"o{i}") for i in range(20)])
+    kg_store.write_triples(t, path)
+
+    # crash case 1: store renamed to .old, compacted dir incomplete (no
+    # _SUCCESS) → recovery restores .old
+    os.rename(path, path + ".old")
+    os.makedirs(path + ".compacting", exist_ok=True)
+    assert kg_store.read_triples(spark, path).count() == 20
+    assert not os.path.isdir(path + ".old")
+    os.rmdir(path + ".compacting")
+
+    # crash case 2: compacted dir complete (_SUCCESS present), crash before
+    # the final rename → recovery promotes the compacted copy
+    kg_store.compact(spark, path)  # produces a fresh single-generation store
+    os.rename(path, path + ".compacting")
+    assert os.path.isfile(path + ".compacting/_SUCCESS")
+    assert kg_store.read_triples(spark, path).count() == 20
+    assert not os.path.isdir(path + ".compacting")
+
+
+def test_manifest_compaction(spark, tmp_path):
+    mpath = str(tmp_path / "cman")
+    for i in range(6):
+        manifest.append_manifest(
+            spark, mpath, [{"stage": "s1", "partition_key": str(i), "rows_in": 1, "rows_out": 1}]
+        )
+    rows_before = {(r.stage, r.partition_key) for r in manifest.read_manifest(spark, mpath).collect()}
+    fb, fa = manifest.compact_manifest(spark, mpath)
+    assert fb >= 6 and fa == 1, (fb, fa)
+    rows_after = {(r.stage, r.partition_key) for r in manifest.read_manifest(spark, mpath).collect()}
+    assert rows_after == rows_before and len(rows_after) == 6

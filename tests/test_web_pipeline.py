@@ -74,3 +74,23 @@ def test_pipeline_resume_after_partial_run(spark, tmp_path_factory, pages):
 
     # resumed result identical to the uninterrupted run
     assert _store_key_set(spark, part) == _store_key_set(spark, full)
+
+
+def test_s1_rerun_after_lost_manifest_does_not_duplicate(spark, tmp_path_factory, pages):
+    """Crash between the S1 parquet write and the manifest record: the
+    resume re-runs the same buckets; dynamic partition overwrite must
+    REPLACE their rows, never append duplicates (perturbing S2 TF-IDF)."""
+    out = str(tmp_path_factory.mktemp("wp_crash_s1"))
+    wp.run_web_pipeline(spark, pages, out, n_url_buckets=4, stages=(wp.S1,))
+    docs_once = spark.read.parquet(f"{out}/docs")
+    n_once = docs_once.count()
+    assert docs_once.select("doc_id").distinct().count() == n_once
+
+    # lose the manifest (the write landed, the record did not)
+    import shutil
+
+    shutil.rmtree(f"{out}/manifest")
+    wp.run_web_pipeline(spark, pages, out, n_url_buckets=4, stages=(wp.S1,))
+    docs_again = spark.read.parquet(f"{out}/docs")
+    assert docs_again.count() == n_once
+    assert docs_again.select("doc_id").distinct().count() == n_once

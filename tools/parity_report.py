@@ -5,7 +5,8 @@ Runs the Spark mapper on five_papers.json, parses the reference's
 checked-in five_papers.ttl (produced by its rdflib pipeline,
 extremexp_kg_matic/src/utils.py:209-365 + src/main.py one-shot), and prints
 precision/recall over canonical (subj, pred, obj_lexical, obj_is_iri,
-obj_datatype) tuples. Appends the result to PARITY.md.
+obj_datatype) tuples. Rewrites PARITY.md with the latest result
+(one report per file; git history keeps prior runs).
 
 Usage: python tools/parity_report.py
 """
