@@ -146,6 +146,96 @@ def _q_kg_doc_mention_stats(spark, sf_dir):
     )
 
 
+def _q_kg_class_counts(spark, sf_dir):
+    """E4/G6 per-class instance counts over the constructed triple table
+    (plans/queries.py::count_by_class — the health-check aggregate family,
+    src/fuseki_client.py:111-132 generalized)."""
+    from extremexp_knowledge_graph_spark.operators.pattern_extract import line_triples
+    from extremexp_knowledge_graph_spark.plans.queries import count_by_class
+
+    return count_by_class(line_triples(_docs(spark, sf_dir)))
+
+
+def _q_kg_paper_details(spark, sf_dir):
+    """The reference's one checked-in query shape (extremexp_kg_matic/
+    sparql_queries/query_paper_details.rq:1-15: star pattern, three
+    OPTIONALs, ORDER, LIMIT) driven through the real entity_view/
+    paper_details plan (plans/queries.py:27,48) over paper-shaped triples
+    deterministically minted from the documents table — pdfUrl/pwcUrl exist
+    only for doc_id%3==0 / %5==0, so the OPTIONAL (left-join) legs actually
+    produce null rows."""
+    from extremexp_knowledge_graph_spark.plans.queries import paper_details
+    from extremexp_knowledge_graph_spark.schema import (
+        CLS_PAPER,
+        P_PDF_URL,
+        P_PWC_URL,
+        P_TITLE,
+        P_YEAR,
+        RDF_TYPE,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://example.org/paper_"), F.col("doc_id").cast("string")).alias("subj"),
+        F.col("doc_id"),
+        F.substring_index(F.col("text"), "\n", 1).alias("title"),
+        (F.lit(1990) + F.col("doc_id") % 30).cast("string").alias("year"),
+    )
+    t = (
+        d.select("subj", F.lit(RDF_TYPE).alias("pred"), F.lit(CLS_PAPER).alias("obj"))
+        .unionByName(d.select("subj", F.lit(P_TITLE).alias("pred"), F.col("title").alias("obj")))
+        .unionByName(d.select("subj", F.lit(P_YEAR).alias("pred"), F.col("year").alias("obj")))
+        .unionByName(
+            d.where(F.col("doc_id") % 3 == 0).select(
+                "subj",
+                F.lit(P_PDF_URL).alias("pred"),
+                F.concat(F.lit("http://pdf.example.org/"), F.col("doc_id").cast("string")).alias("obj"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                "subj",
+                F.lit(P_PWC_URL).alias("pred"),
+                F.concat(F.lit("http://pwc.example.org/"), F.col("doc_id").cast("string")).alias("obj"),
+            )
+        )
+    )
+    return paper_details(t, limit=10)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal decode plumbing through the REAL Arrow mapInPandas kernel
+    (operators/multimodal.py::decode_features): documents' utf-8 bytes stand
+    in for media payloads (no image/audio codec in this container — the
+    kernel is the documented deterministic stub), features exploded to
+    scalar rows and re-rounded in double for engine-portable hashing."""
+    from extremexp_knowledge_graph_spark.operators.multimodal import decode_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce(F.col("text"), F.lit("")).cast("binary").alias("media"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
+        F.create_map(F.lit("source"), F.lit("documents")).alias("meta"),
+    )
+    feats = decode_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "digest",
+        F.posexplode("feature").alias("dim_i", "v"),
+    ).select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "digest",
+        F.col("dim_i").cast("long").alias("dim_i"),
+        F.round(F.col("v").cast("double"), 6).alias("v"),
+    )
+
+
 def _q_text_stats(spark, sf_dir):
     """D-family text kernels: token/stopword/punct counts + quality score."""
     from extremexp_knowledge_graph_spark.functions import text as T
@@ -243,11 +333,22 @@ def _q_kg_canonicalize(spark, sf_dir):
 
 
 def _q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within the corpus (exact all-pairs
-    mode — the oracle path; n_planes>0 switches to LSH blocking at scale)."""
+    """Embedding-cosine near-dup pairs, exact all-pairs recall baseline
+    (explicit n_planes=0 opt-in; the operator DEFAULT is LSH-blocked)."""
     from extremexp_knowledge_graph_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4, n_planes=0)
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup via the default LSH-blocked scale path (4 planes ×
+    8 tables — the same recall/cost point as ann_lsh); oracled in full SQL
+    with the hyperplanes embedded as literals."""
+    from extremexp_knowledge_graph_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=4, n_tables=8
+    )
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -289,11 +390,13 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF ANN (k-means coarse quantizer, relational Lloyd iterations).
-    Rows-only check: centroids are iterative float averages whose summation
-    order is engine-specific, so assignments near Voronoi boundaries are not
-    SQL-reproducible bit-exactly (correctness is pinned by
-    tests/test_dedup_similarity.py: probing all lists == brute force)."""
+    """IVF ANN (k-means coarse quantizer, relational Lloyd iterations) —
+    fully oracled: the fit is deterministic AND engine-portable (md5-ordered
+    init, fixed iterations, argmin ties broken on centroid index), so the
+    DuckDB oracle replays the identical Lloyd recursion in SQL. Cross-engine
+    float-summation noise (~1e-13) cannot flip an assignment because the
+    corpus's Voronoi margins are ≥1.7e-4 (≈1e-3 relative) — asserted by
+    tests/test_dedup_similarity.py::test_ivf_oracle_margins."""
     from extremexp_knowledge_graph_spark.operators.similarity import ivf_ann_topk
 
     emb = _emb(spark, sf_dir)
@@ -384,6 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _q_kg_mentions,
         "kg_pred_counts": _q_kg_pred_counts,
         "kg_doc_mention_stats": _q_kg_doc_mention_stats,
+        "kg_class_counts": _q_kg_class_counts,
+        "kg_paper_details": _q_kg_paper_details,
+        "multimodal_features": _q_multimodal_features,
         "text_stats": _q_text_stats,
         "text_topk_per_lang": _q_text_topk_per_lang,
         "text_token_counts": _q_text_token_counts,
@@ -394,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "kg_canonicalize": _q_kg_canonicalize,
         "ann_topk": _q_ann_topk,
         "ann_threshold": _q_ann_threshold,
@@ -595,6 +702,62 @@ m as (
 select d.subj, coalesce(m.n_mentions, 0)::bigint as n_mentions, m.first_term
 from (select 'http://example.org/document_' || doc_id as subj from documents) d
 left join m using (subj)
+"""
+
+ORACLE["kg_class_counts"] = rf"""
+with {_LINES_CTE},
+t as (
+  select 'http://example.org/Document' as cls from documents
+  union all
+  select 'http://example.org/Line' from lines
+)
+select cls as "class", count(*)::bigint as n
+from t group by cls
+order by n desc, cls asc
+"""
+
+# paper_details exemplar: the pivoted-entity-view star pattern collapses, in
+# SQL, to one row per paper with CASE-gated optional props — identical
+# result set to k left self-joins on the triple table.
+ORACLE["kg_paper_details"] = r"""
+with d as (
+  select 'http://example.org/paper_' || doc_id as subj,
+         doc_id,
+         string_split(text, chr(10))[1] as title,
+         (1990 + doc_id % 30)::varchar as year
+  from documents
+)
+select subj, title,
+       case when doc_id % 3 = 0 then 'http://pdf.example.org/' || doc_id end as "pdfUrl",
+       case when doc_id % 5 = 0 then 'http://pwc.example.org/' || doc_id end as "papersWithCodeUrl",
+       year
+from d
+where title is not null
+order by year desc nulls last, subj asc
+limit 10
+"""
+
+# decode_features stub kernel in SQL: md5 of the utf-8 payload; feature[i] =
+# float32(hexchunk_i / 65535) re-rounded in double — the 4-hex-digit parse
+# is exact integer arithmetic (< 2^16, no uhugeint needed).
+ORACLE["multimodal_features"] = r"""
+with base as (
+  select doc_id as media_id,
+         case when doc_id % 3 = 0 then 'image/png'
+              when doc_id % 3 = 1 then 'audio/wav'
+              else 'video/mp4' end as mime,
+         octet_length(coalesce(text, '')::blob)::bigint as n_bytes,
+         md5(coalesce(text, '')) as digest
+  from documents
+)
+select media_id, mime, n_bytes, digest, i::bigint as dim_i,
+  round((((
+      (strpos('0123456789abcdef', substr(digest, i*4 + 1, 1)) - 1) * 4096
+    + (strpos('0123456789abcdef', substr(digest, i*4 + 2, 1)) - 1) * 256
+    + (strpos('0123456789abcdef', substr(digest, i*4 + 3, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(digest, i*4 + 4, 1)) - 1)
+  ) / 65535.0)::float)::double, 6) as v
+from base cross join (select unnest(range(8)) as i)
 """
 
 ORACLE["text_stats"] = r"""
@@ -899,6 +1062,173 @@ select query_id, vec_id, score, rnk::int as rnk from ranked where rnk <= {k}
 
 
 ORACLE["ann_lsh"] = _ann_lsh_oracle(5, 64, 4, 8, 7)
+
+
+def _lsh_buckets_cte(dim: int = 64, n_planes: int = 4, n_tables: int = 8, seed: int = 7) -> str:
+    """planes + buckets CTE bodies shared by the LSH oracles (hyperplane
+    constants as float64 literals — repr round-trips exactly)."""
+    from extremexp_knowledge_graph_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, w in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            arr = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+            rows.append(f"({t}, {p}, {arr}::double[])")
+    planes_values = ",\n".join(rows)
+    dot = (
+        "list_reduce(list_transform(range(1, len(e.embedding)+1),"
+        " i -> e.embedding[i]::DOUBLE * p.w[i]), (x,y) -> x+y)"
+    )
+    return rf"""planes(tbl, plane, w) as (values
+{planes_values}
+),
+buckets as (
+  select e.vec_id, e.embedding, p.tbl,
+         string_agg(case when {dot} >= 0 then '1' else '0' end, '' order by p.plane) as bucket
+  from embeddings e cross join planes p
+  group by e.vec_id, e.embedding, p.tbl
+)"""
+
+
+# LSH-blocked near-dup: candidate pairs share a bucket in ≥1 table; exact
+# cosine verify within candidates — the full-SQL replica of
+# embedding_near_dup_pairs' DEFAULT (scale) path.
+ORACLE["dedup_embedding_lsh"] = rf"""
+with {_lsh_buckets_cte(64, 4, 8, 7)},
+cand as (
+  select distinct a.vec_id as id_a, a.embedding as va, b.vec_id as id_b, b.embedding as vb
+  from buckets a join buckets b on a.tbl = b.tbl and a.bucket = b.bucket
+  where a.vec_id < b.vec_id
+)
+select id_a, id_b,
+  round(
+    list_reduce(list_transform(range(1, len(va)+1),
+        i -> va[i]::DOUBLE * vb[i]::DOUBLE), (x,y) -> x+y)
+    / (sqrt(list_reduce(list_transform(range(1, len(va)+1),
+        i -> va[i]::DOUBLE * va[i]::DOUBLE), (x,y) -> x+y))
+     * sqrt(list_reduce(list_transform(range(1, len(vb)+1),
+        i -> vb[i]::DOUBLE * vb[i]::DOUBLE), (x,y) -> x+y)))
+  , 6) as score
+from cand
+where list_reduce(list_transform(range(1, len(va)+1),
+        i -> va[i]::DOUBLE * vb[i]::DOUBLE), (x,y) -> x+y)
+    / (sqrt(list_reduce(list_transform(range(1, len(va)+1),
+        i -> va[i]::DOUBLE * va[i]::DOUBLE), (x,y) -> x+y))
+     * sqrt(list_reduce(list_transform(range(1, len(vb)+1),
+        i -> vb[i]::DOUBLE * vb[i]::DOUBLE), (x,y) -> x+y))) >= 0.4
+"""
+
+
+def _ann_ivf_oracle(
+    k: int = 5, nlist: int = 16, nprobe: int = 4, iters: int = 3, seed: int = 7
+) -> str:
+    """Full SQL replay of ivf_ann_topk's deterministic fit + probe + rerank.
+
+    The fit is portable by construction (operators/similarity.py::
+    ivf_fit_centroids): init = first ``nlist`` vectors by md5(vec_id||'|s')
+    order; each Lloyd iteration assigns every vector to its nearest centroid
+    by squared distance (−2·v·c + ‖c‖², ties → lowest centroid index) and
+    re-averages per dimension, keeping the previous centroid for emptied
+    clusters. Cross-engine float-summation differences (numpy matmul vs SQL
+    left-to-right fold, ~1e-13) are harmless because Voronoi assignment
+    margins on this corpus are ≥1.7e-4, ≈1e-3 relative (asserted in pytest)."""
+
+    def dist(vec_expr: str, cent: str) -> str:
+        return (
+            f"-2 * list_reduce(list_transform(range(1, len({vec_expr})+1),"
+            f" i -> {vec_expr}[i]::DOUBLE * {cent}.vec[i]), (x,y) -> x+y)"
+            f" + list_reduce(list_transform(range(1, len({cent}.vec)+1),"
+            f" i -> {cent}.vec[i] * {cent}.vec[i]), (x,y) -> x+y)"
+        )
+
+    ctes = [
+        f"""cent0 as (
+  select c, vec from (
+    select row_number() over (order by md5(vec_id::varchar || '|{seed}')) - 1 as c,
+           embedding::double[] as vec
+    from embeddings) sub
+  where c < {nlist}
+)"""
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"""a{it} as (
+  select vec_id, embedding, c from (
+    select e.vec_id, e.embedding, cc.c,
+           row_number() over (partition by e.vec_id
+                              order by {dist('e.embedding', 'cc')}, cc.c) as rn
+    from embeddings e cross join cent{it} cc) sub
+  where rn = 1
+)"""
+        )
+        ctes.append(
+            f"""m{it} as (
+  select c, list(m order by i) as vec from (
+    select c, i, avg(x) as m from (
+      select c, unnest(embedding) as x, generate_subscripts(embedding, 1) as i
+      from a{it}) ex
+    group by c, i) dims
+  group by c
+)"""
+        )
+        ctes.append(
+            f"""cent{it + 1} as (
+  select p.c, coalesce(m.vec, p.vec) as vec
+  from cent{it} p left join m{it} m on m.c = p.c
+)"""
+        )
+    fin = f"cent{iters}"
+    ctes.append(
+        f"""afin as (
+  select vec_id, embedding, c from (
+    select e.vec_id, e.embedding, cc.c,
+           row_number() over (partition by e.vec_id
+                              order by {dist('e.embedding', 'cc')}, cc.c) as rn
+    from embeddings e cross join {fin} cc) sub
+  where rn = 1
+)"""
+    )
+    ctes.append(
+        f"""qprobe as (
+  select vec_id as query_id, embedding as q_emb, c from (
+    select e.vec_id, e.embedding, cc.c,
+           row_number() over (partition by e.vec_id
+                              order by {dist('e.embedding', 'cc')}, cc.c) as rn
+    from embeddings e cross join {fin} cc
+    where e.vec_id < 10) sub
+  where rn <= {nprobe}
+)"""
+    )
+    ctes.append(
+        """scored as (
+  select q.query_id, a.vec_id,
+    round(
+      list_reduce(list_transform(range(1, len(a.embedding)+1),
+          i -> a.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE), (x,y) -> x+y)
+      / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+          i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (x,y) -> x+y))
+       * sqrt(list_reduce(list_transform(range(1, len(q.q_emb)+1),
+          i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE), (x,y) -> x+y)))
+    , 6) as score
+  from afin a join qprobe q on a.c = q.c
+  where a.vec_id <> q.query_id
+)"""
+    )
+    ctes.append(
+        """ranked as (
+  select query_id, vec_id, score,
+         row_number() over (partition by query_id order by score desc, vec_id asc) as rnk
+  from scored
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+with {body}
+select query_id, vec_id, score, rnk::int as rnk from ranked where rnk <= {k}
+"""
+
+
+ORACLE["ann_ivf"] = _ann_ivf_oracle(5, 16, 4, 3, 7)
 
 ORACLE["ann_topk"] = rf"""
 with scored as (

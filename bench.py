@@ -110,6 +110,9 @@ def build_queries(sf_dir: str):
         "kg_canonicalize": from_entry("kg_canonicalize"),
         "ann_topk": from_entry("ann_topk"),
         "ann_lsh": from_entry("ann_lsh"),
+        "ann_ivf": from_entry("ann_ivf"),
+        "dedup_embedding_lsh": from_entry("dedup_embedding_lsh"),
+        "multimodal_features": from_entry("multimodal_features"),
         "text_stats": from_entry("text_stats"),
         "sql_pricing_summary": from_entry("sql_pricing_summary"),
         "sql_top_customers": from_entry("sql_top_customers"),

@@ -106,20 +106,21 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 0,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within one corpus:
     (id_a, id_b, score) with id_a < id_b and cosine ≥ threshold.
 
-    ``n_planes=0`` → exact all-pairs (the small-scale / oracle path; the
-    self-join is the quadratic baseline). ``n_planes>0`` → LSH-blocked: only
-    pairs sharing a hyperplane bucket in ≥1 table are scored — the scale
-    path, same banding as ``lsh_ann_topk`` (at 0.95 cosine the sign-bit
-    collision probability per plane is ~0.9, so recall stays high exactly
-    for the near-dup band we care about)."""
+    The DEFAULT is the LSH-blocked scale path (``n_planes>0``): only pairs
+    sharing a hyperplane bucket in ≥1 table are scored — same banding as
+    ``lsh_ann_topk`` (at 0.95 cosine the sign-bit collision probability per
+    plane is ~0.9, so recall stays high exactly for the near-dup band we
+    care about). ``n_planes=0`` opts into exact all-pairs — a quadratic
+    crossJoin, the small-corpus / recall-baseline path ONLY; never call it
+    with defaults on a large corpus."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if n_planes > 0:
@@ -162,6 +163,8 @@ def ivf_fit_centroids(
     iters: int = 5,
     seed: int = 7,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit_limit: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means as DataFrame aggregations (deterministic: seeded init
     from a hash-ordered sample, fixed iteration count).
@@ -171,18 +174,32 @@ def ivf_fit_centroids(
     groupBy(centroid).avg shuffle of nlist groups. No spark.ml dependency,
     no driver-side data loops — only the (nlist × dim) centroid matrix ever
     reaches the driver.
+
+    ``fit_limit`` bounds the fit to a deterministic hash-ordered sample of
+    that many rows — at 10^9 vectors the fit MUST run on a sample (the full
+    corpus still gets assigned to the fitted lists; only the Lloyd
+    iterations shrink). The sample and the init both order by
+    ``md5(id || salt)`` rather than a numeric hash so an external engine
+    (the DuckDB driver oracle) can reproduce the fit bit-for-bit up to
+    float-summation noise.
     """
+    base = corpus.select(F.col(id_col).alias("_fid"), F.col(vec_col).alias("v"))
+    if fit_limit is not None:
+        base = (
+            base.orderBy(F.md5(F.concat(F.col("_fid").cast("string"), F.lit(f"|s{seed}"))))
+            .limit(fit_limit)
+        )
     init = (
-        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)).alias("h"))
+        base.select("v", F.md5(F.concat(F.col("_fid").cast("string"), F.lit(f"|{seed}"))).alias("h"))
         .orderBy("h")
         .limit(nlist)
         .collect()
     )
     centroids = [list(map(float, r.v)) for r in init]
     for _ in range(iters):
-        assigned = corpus.select(
-            F.col(vec_col).alias("v"),
-            _nearest_centroid_col(F.col(vec_col), centroids).alias("c"),
+        assigned = base.select(
+            F.col("v"),
+            _nearest_centroid_col(F.col("v"), centroids).alias("c"),
         )
         agg = (
             assigned.select("c", F.posexplode("v").alias("i", "x"))
@@ -236,6 +253,8 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
     q_vec_col: str = "q_embedding",
+    fit_limit: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus vectors to their nearest of
     ``nlist`` centroids (the inverted lists), probe each query's ``nprobe``
@@ -243,9 +262,12 @@ def ivf_ann_topk(
 
     The corpus shuffles once on list id; queries are broadcast with their
     probe set. recall/cost knob = nprobe/nlist (nprobe=nlist degenerates to
-    brute force). At 10^9 vectors nlist is ~√N and the fit runs on a sample.
+    brute force). At 10^9 vectors nlist is ~√N and the fit runs on a
+    sample — pass ``fit_limit`` (or precomputed ``centroids``).
     """
-    cents = ivf_fit_centroids(corpus, nlist, iters, seed, vec_col)
+    cents = centroids if centroids is not None else ivf_fit_centroids(
+        corpus, nlist, iters, seed, vec_col, id_col, fit_limit
+    )
     c_assigned = corpus.select(
         F.col(id_col), F.col(vec_col), _nearest_centroid_col(F.col(vec_col), cents).alias("lst")
     )

@@ -14,6 +14,10 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: None until the first get_spark call; then whether the JVM was launched
+#: with an external master (spark-submit). See the comment in get_spark.
+_LAUNCHER_HAS_MASTER: bool | None = None
+
 
 def get_spark(
     app_name: str = "extremexp-kg-spark",
@@ -31,11 +35,20 @@ def get_spark(
     """
     cpus_s = str(cpus) if cpus else os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name)
-    # honor a master set by the launcher (spark-submit --master …); only
-    # default to local[N] when running as a bare python process
-    from pyspark import SparkConf
+    # Honor a master set by the launcher (spark-submit --master …); only
+    # default to local[N] when running as a bare python process. The
+    # launcher check must be captured ONCE per process: after any
+    # SparkContext starts, spark.master persists in the reused JVM's system
+    # properties, so re-checking SparkConf() on a second get_spark call
+    # would silently pin every later session to the FIRST session's master
+    # (this bug made a local[16] request run at local[4] and torpedoed the
+    # scaling benchmark).
+    global _LAUNCHER_HAS_MASTER
+    if _LAUNCHER_HAS_MASTER is None:
+        from pyspark import SparkConf
 
-    if not SparkConf().contains("spark.master"):
+        _LAUNCHER_HAS_MASTER = SparkConf().contains("spark.master")
+    if not _LAUNCHER_HAS_MASTER:
         builder = builder.master(f"local[{cpus_s}]")
     builder = (
         builder.config("spark.sql.adaptive.enabled", "true")

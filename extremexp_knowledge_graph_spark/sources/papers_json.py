@@ -39,6 +39,24 @@ def read_papers_json(spark: SparkSession, path: str, with_corrupt: bool = False)
     return normalize_aliases(df.withColumn("prov", F.input_file_name()))
 
 
+def ingest_upload(
+    spark: SparkSession, payload: bytes, upload_dir: str, name: str = "upload.json", with_corrupt: bool = False
+) -> DataFrame:
+    """A4 multipart-upload source (src/api.py:287-330): the uploaded bytes
+    are persisted under ``upload_dir`` (the reference saves to its data dir
+    before processing, src/api.py:302-310) and then read through the same
+    schema-enforced scan as every other door — single objects auto-wrap,
+    corrupt payloads become quarantine rows when ``with_corrupt`` is set,
+    exactly as A1/A2."""
+    import os
+
+    os.makedirs(upload_dir, exist_ok=True)
+    target = os.path.join(upload_dir, name)
+    with open(target, "wb") as f:
+        f.write(payload)
+    return read_papers_json(spark, target, with_corrupt=with_corrupt)
+
+
 def normalize_aliases(df: DataFrame) -> DataFrame:
     """Alias normalization (B1): ``pdfUrl``→``url``, ``papersWithCodeUrl``→
     ``origin`` (src/api.py:236-248; the mapper's own coalesce at

@@ -212,3 +212,82 @@ def test_ivf_ann_recall_and_determinism(spark):
     ivf2 = {(r.query_id, r.vec_id)
             for r in ivf_ann_topk(emb.repartition(13), q, k=5, nlist=8, nprobe=4).collect()}
     assert ivf2 == ivf
+
+
+def _numpy_ivf_fit(ids, V, nlist, iters, seed):
+    """Pure-numpy replica of ivf_fit_centroids' deterministic recursion
+    (md5-ordered init, argmin ties to lowest index, per-dim mean), used to
+    measure Voronoi margins — NOT as the engine oracle."""
+    import numpy as np
+
+    order = sorted(
+        range(len(ids)), key=lambda j: hashlib.md5(f"{ids[j]}|{seed}".encode()).hexdigest()
+    )
+    C = V[order[:nlist]].astype(np.float64).copy()
+    margins = []
+    for _ in range(iters):
+        d = -2.0 * (V @ C.T) + (C * C).sum(axis=1)
+        srt = np.sort(d, axis=1)
+        margins.append(float(np.min(srt[:, 1] - srt[:, 0])))
+        a = np.argmin(d, axis=1)
+        for c in range(nlist):
+            m = a == c
+            if m.any():
+                C[c] = V[m].mean(axis=0)
+    return C, margins
+
+
+def test_ivf_oracle_margins():
+    """The ann_ivf driver oracle replays the Lloyd fit in DuckDB; engines
+    differ by float-summation order (~1e-13 on these magnitudes). Safe iff
+    every assignment/probe decision has a margin orders of magnitude above
+    that — assert it for the scale factors the driver actually runs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        ids = t["vec_id"].to_pylist()
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        C, margins = _numpy_ivf_fit(ids, V, nlist=16, iters=3, seed=7)
+        assert min(margins) > 1e-6, (sf, margins)
+        d = -2.0 * (V @ C.T) + (C * C).sum(axis=1)
+        srt = np.sort(d, axis=1)
+        assert float((srt[:, 1] - srt[:, 0]).min()) > 1e-6, sf  # corpus assign
+        dq = srt[np.asarray(ids) < 10]
+        assert float((dq[:, 4] - dq[:, 3]).min()) > 1e-6, sf  # nprobe=4 boundary
+
+
+def test_ivf_fit_limit_sampling(spark):
+    """fit_limit bounds the Lloyd fit to a deterministic sample; quantizer
+    quality survives (recall within noise of the full fit) and probing all
+    lists still degenerates to exact brute force."""
+    import numpy as np
+
+    from extremexp_knowledge_graph_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.standard_normal(16) * 0.5])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 8").selectExpr("vec_id as query_id", "embedding as q_embedding")
+
+    bf = {(r.query_id, r.vec_id, r.score, r.rnk) for r in brute_force_topk(emb, q, k=5).collect()}
+    full_probe = {
+        (r.query_id, r.vec_id, r.score, r.rnk)
+        for r in ivf_ann_topk(emb, q, k=5, nlist=8, nprobe=8, fit_limit=60).collect()
+    }
+    assert full_probe == bf
+
+    bf_pairs = {(a, b) for a, b, _, _ in bf}
+    sampled = {
+        (r.query_id, r.vec_id)
+        for r in ivf_ann_topk(emb, q, k=5, nlist=8, nprobe=4, fit_limit=60).collect()
+    }
+    assert len(bf_pairs & sampled) / len(bf_pairs) >= 0.6

@@ -60,3 +60,30 @@ def test_mapper_idempotent_under_reprocessing(spark):
     t1 = papers_to_triples(papers)
     doubled = t1.unionByName(t1).dropDuplicates(TRIPLE_KEY)
     assert doubled.count() == t1.count()
+
+
+def test_upload_source_all_payload_shapes(spark, tmp_path):
+    """A4 multipart upload: bytes → persisted file → same schema-enforced
+    scan as A1. Array payloads, single-object auto-wrap, and corrupt
+    payloads (quarantine row, no exception) all ride the one door."""
+    import json
+
+    from extremexp_knowledge_graph_spark.operators.papers_to_triples import papers_to_triples
+    from extremexp_knowledge_graph_spark.sources.papers_json import CORRUPT_COL, ingest_upload
+
+    updir = str(tmp_path / "uploads")
+    arr = json.dumps(
+        [{"title": "Upload A", "tasks": ["T"]}, {"title": "Upload B", "year": 2020}]
+    ).encode()
+    papers = ingest_upload(spark, arr, updir, name="batch.json")
+    assert papers.count() == 2
+    triples = papers_to_triples(papers)
+    assert triples.where(triples.obj == "Upload A").count() == 1
+
+    single = json.dumps({"title": "Solo Upload"}).encode()
+    solo = ingest_upload(spark, single, updir, name="solo.json")
+    assert solo.count() == 1 and solo.first().title == "Solo Upload"
+
+    bad = ingest_upload(spark, b"{broken json", updir, name="bad.json", with_corrupt=True)
+    rows = bad.collect()
+    assert len(rows) == 1 and rows[0][CORRUPT_COL] is not None

@@ -56,3 +56,51 @@ def test_stream_dedup_matches_batch_operator(spark, tmp_path):
     batch = exact_dedup(spark.createDataFrame(rows, DOCS_SCHEMA))
     batch_ids = {r.doc_id for r in batch.collect()}
     assert stream_ids == batch_ids
+
+
+def test_stream_dedup_ttl_expiry_and_readmission(spark, tmp_path):
+    """With state_ttl_ms set, a fingerprint idle past the TTL is forgotten
+    at the next batch that sees no data for it, and a later duplicate is
+    re-admitted as a fresh survivor (bounded-state trade)."""
+    import time
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("inp", "out", "ckpt"))
+    ttl = 500
+
+    # run 1: A(1) admitted
+    _write(spark, inp, [(1, "alpha text")])
+    q = stream_exact_dedup(spark, inp, out, ckpt, state_ttl_ms=ttl)
+    q.awaitTermination(180)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+
+    # run 2 after the deadline: a batch with unrelated data fires A's
+    # timeout → state removed
+    time.sleep(1.5)
+    _write(spark, inp, [(2, "bravo text")])
+    q2 = stream_exact_dedup(spark, inp, out, ckpt, state_ttl_ms=ttl)
+    q2.awaitTermination(180)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # run 3: duplicate of A arrives after expiry → re-admitted. (B's 500 ms
+    # deadline has also passed by now — restarts take seconds — so B times
+    # out here too; covered by run 4.)
+    _write(spark, inp, [(9, "alpha text")])
+    q3 = stream_exact_dedup(spark, inp, out, ckpt, state_ttl_ms=ttl)
+    q3.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 9}, got
+
+    # run 4 (long TTL): expired B re-admitted; fresh E admitted
+    _write(spark, inp, [(10, "bravo text"), (20, "echo text")])
+    q4 = stream_exact_dedup(spark, inp, out, ckpt, state_ttl_ms=600_000)
+    q4.awaitTermination(180)
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 2, 9, 10, 20}, got2
+
+    # run 5 immediately: within-TTL dups of both are suppressed across the
+    # restart (state + deadlines persist via the checkpoint)
+    _write(spark, inp, [(21, "echo text"), (22, "bravo text")])
+    q5 = stream_exact_dedup(spark, inp, out, ckpt, state_ttl_ms=600_000)
+    q5.awaitTermination(180)
+    got3 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got3 == {1, 2, 9, 10, 20}, got3

@@ -79,8 +79,33 @@ def run_once(cpus: int, sf_dir: str, repeats: int = 3, amplify: int = 1) -> tupl
     return best, n
 
 
+def run_leg(cpus: int, sf_dir: str, amplify: int) -> tuple[float, int]:
+    """Run one parallelism level in a SUBPROCESS so each leg gets a truly
+    fresh JVM. Running both legs in one process is not just noisy — a
+    stopped SparkContext leaves ``spark.master`` in the reused JVM's system
+    properties, and any master-detection logic reading SparkConf() then pins
+    the second leg to the first leg's core count (observed: the 'local[16]'
+    leg silently ran at 4 threads → fake efficiency 0.25)."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, os.path.abspath(__file__), "--leg", str(cpus), sf_dir, str(amplify)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("LEG ")][-1]
+    _, sec, n = line.split()
+    return float(sec), int(n)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) >= 2 and sys.argv[1] == "--leg":
+        t, n = run_once(int(sys.argv[2]), sys.argv[3], amplify=int(sys.argv[4]))
+        print(f"LEG {t} {n}")
+        return
     # defaults: 4 vs 16 cores (4× ratio, below this box's single-socket
     # memory-bandwidth ceiling — see BENCH.md "Saturation check"), input
     # amplified ×64 so per-task work dominates fixed scheduler overhead
@@ -88,8 +113,8 @@ def main():
     hi = int(os.environ.get("SCALING_HI", "16"))
     amplify = int(os.environ.get("SCALING_AMPLIFY", "64"))
 
-    t_lo, n = run_once(lo, sf_dir, amplify=amplify)
-    t_hi, _ = run_once(hi, sf_dir, amplify=amplify)
+    t_lo, n = run_leg(lo, sf_dir, amplify)
+    t_hi, _ = run_leg(hi, sf_dir, amplify)
     thr_lo, thr_hi = n / t_lo, n / t_hi
     eff = (thr_hi / thr_lo) / (hi / lo)
     result = {
