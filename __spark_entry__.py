@@ -291,6 +291,46 @@ def _q_text_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_sample_uniform(spark, sf_dir):
+    """Deterministic md5-threshold sampling (training-data curation;
+    membership a pure function of doc_id — engine/partitioning/rerun
+    stable, predicate verbatim in the oracle)."""
+    from extremexp_knowledge_graph_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.1).select("doc_id")
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Per-language deterministic sampling (corpus balancing): en kept at
+    5%, de at 50%, other languages at the 20% default — one scan, the
+    per-stratum threshold is a literal CASE."""
+    from extremexp_knowledge_graph_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.05, "de": 0.5}, strata_col="lang", default_frac=0.2
+    ).select("doc_id", "lang")
+
+
+def _q_text_curation(spark, sf_dir):
+    """The canonical training-data cleaning composition: exact-dedup keepers
+    ∩ quality floor ∩ confident language id — one pass over documents plus
+    the dedup keeper semi-join."""
+    from extremexp_knowledge_graph_spark.functions import text as T
+    from extremexp_knowledge_graph_spark.operators.dedup import exact_dup_groups
+
+    d = _docs(spark, sf_dir)
+    keep = exact_dup_groups(d).select(F.col("keeper_id").alias("doc_id"))
+    return (
+        d.join(keep, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            T.quality_score(F.col("text")).alias("quality"),
+            T.lang_id(F.col("text")).alias("lang_guess"),
+        )
+        .where((F.col("quality") >= 0.3) & (F.col("lang_guess") != "und"))
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from extremexp_knowledge_graph_spark.operators.dedup import exact_dup_groups
 
@@ -495,6 +535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_token_counts,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
+        "sample_uniform": _q_sample_uniform,
+        "sample_stratified": _q_sample_stratified,
+        "text_curation": _q_text_curation,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -823,6 +866,73 @@ from c
 
 ORACLE["text_fingerprint"] = r"""
 select doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as fp from documents
+"""
+
+def _sampling_oracles() -> dict[str, str]:
+    from extremexp_knowledge_graph_spark.operators.sampling import frac_to_hex_threshold as thr
+
+    uniform = f"""
+select doc_id from documents
+where substr(md5(doc_id::varchar || '|sample'), 1, 8) < '{thr(0.1)}'
+"""
+    stratified = f"""
+select doc_id, lang from documents
+where substr(md5(doc_id::varchar || '|strata'), 1, 8) <
+  case when lang = 'en' then '{thr(0.05)}'
+       when lang = 'de' then '{thr(0.5)}'
+       else '{thr(0.2)}' end
+"""
+    return {"sample_uniform": uniform, "sample_stratified": stratified}
+
+
+ORACLE.update(_sampling_oracles())
+
+# Curation composition: reuse the exact quality / lang-id / fingerprint
+# formulas already oracled above, intersected with the dedup keepers.
+ORACLE["text_curation"] = r"""
+with ts as (
+select doc_id,
+       round(
+         least(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) / 100.0, 1.0) * 0.5
+         + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1)::double, 1.0)) * 0.3
+         + least(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+                 t -> list_contains(['the','a','and','is','of','to','in','it','that','for'], t))) * 4.0
+                 / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1)::double, 1.0) * 0.2
+       , 6) as quality
+from documents
+),
+c as (
+  select doc_id,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+        t -> list_contains(['the','and','is','of','to'], t))) as en,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+        t -> list_contains(['der','die','und','nicht','das'], t))) as de,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+        t -> list_contains(['el','la','que','de','los'], t))) as es,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+        t -> list_contains(['le','la','et','les','des'], t))) as fr
+  from documents
+),
+lid as (
+  select doc_id,
+    case when greatest(en,de,es,fr) = 0 then 'und'
+         when en = greatest(en,de,es,fr) then 'en'
+         when de = greatest(en,de,es,fr) then 'de'
+         when es = greatest(en,de,es,fr) then 'es'
+         else 'fr' end as lang_guess
+  from c
+),
+keep as (
+  select min(doc_id) as doc_id
+  from documents group by md5(regexp_replace(text, '\s+', ' ', 'g'))
+)
+select d.doc_id, ts.quality, lid.lang_guess
+from documents d
+join keep using (doc_id)
+join ts on ts.doc_id = d.doc_id
+join lid on lid.doc_id = d.doc_id
+where ts.quality >= 0.3 and lid.lang_guess <> 'und'
 """
 
 ORACLE["dedup_exact"] = r"""
