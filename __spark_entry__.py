@@ -291,6 +291,23 @@ def _q_text_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: token frequencies over every document (the
+    training-data staple behind tokenizer fitting and stopword discovery) —
+    explode + one hash-shuffle on token with map-side partial counts, top
+    100 by count with lexicographic tie-break."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+    )
+
+
 def _q_sample_uniform(spark, sf_dir):
     """Deterministic md5-threshold sampling (training-data curation;
     membership a pure function of doc_id — engine/partitioning/rerun
@@ -535,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_token_counts,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
+        "text_vocab_topk": _q_text_vocab_topk,
         "sample_uniform": _q_sample_uniform,
         "sample_stratified": _q_sample_stratified,
         "text_curation": _q_text_curation,
@@ -867,6 +885,16 @@ from c
 ORACLE["text_fingerprint"] = r"""
 select doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as fp from documents
 """
+
+ORACLE["text_vocab_topk"] = r"""
+select tok, count(*)::bigint as n from (
+  select unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as tok
+  from documents)
+group by tok
+order by n desc, tok asc
+limit 100
+"""
+
 
 def _sampling_oracles() -> dict[str, str]:
     from extremexp_knowledge_graph_spark.operators.sampling import frac_to_hex_threshold as thr

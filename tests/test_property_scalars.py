@@ -18,7 +18,7 @@ from extremexp_knowledge_graph_spark.functions.year import year_from_pdf_url
 from tests.test_scalars import py_sanitize, py_value, py_year
 
 SETTINGS = dict(
-    max_examples=15,
+    max_examples=int(__import__("os").environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "15")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
