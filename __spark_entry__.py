@@ -1248,12 +1248,14 @@ select id_a, id_b,
         i -> vb[i]::DOUBLE * vb[i]::DOUBLE), (x,y) -> x+y)))
   , 6) as score
 from cand
-where list_reduce(list_transform(range(1, len(va)+1),
+where round(
+    list_reduce(list_transform(range(1, len(va)+1),
         i -> va[i]::DOUBLE * vb[i]::DOUBLE), (x,y) -> x+y)
     / (sqrt(list_reduce(list_transform(range(1, len(va)+1),
         i -> va[i]::DOUBLE * va[i]::DOUBLE), (x,y) -> x+y))
      * sqrt(list_reduce(list_transform(range(1, len(vb)+1),
-        i -> vb[i]::DOUBLE * vb[i]::DOUBLE), (x,y) -> x+y))) >= 0.4
+        i -> vb[i]::DOUBLE * vb[i]::DOUBLE), (x,y) -> x+y)))
+  , 6) >= 0.4
 """
 
 

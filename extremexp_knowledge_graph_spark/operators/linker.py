@@ -28,7 +28,11 @@ def _tok(col):
 
 
 def tfidf_weights(
-    df: DataFrame, id_col: str, text_col: str, max_df_frac: float | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df_frac: float | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(id, tok, w) with w = tf * idf, L2-normalized per id.
 
@@ -38,16 +42,27 @@ def tfidf_weights(
     keeps the token-keyed aggregation and the cosine join from concentrating
     on web-scale hot tokens (their idf ≈ 0 contributes ~nothing to the
     score anyway, so the cap trades negligible signal for bounded skew).
+
+    ``n_docs``: pass N when the caller already knows it (the web pipeline's
+    manifest records stage row counts) — a plain literal in the idf. When
+    None, N is derived lazily as ``countDistinct(id)`` over the same tf
+    exchange (ReuseExchange: no extra corpus scan, no eager driver job;
+    token-less documents contribute no tf rows, no norm, and no cosine term,
+    so excluding them from N only rescales idf by a corpus-quality constant).
     """
     toks = df.select(F.col(id_col).alias("id"), F.explode(_tok(F.col(text_col))).alias("tok"))
     tf = toks.groupBy("id", "tok").agg(F.count("*").cast("double").alias("tf"))
-    n_docs = df.count()
     dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    if n_docs is not None:
+        dfreq = dfreq.withColumn("n_docs", F.lit(float(n_docs)))
+    else:
+        nd = tf.agg(F.countDistinct("id").cast("double").alias("n_docs"))
+        dfreq = dfreq.crossJoin(F.broadcast(nd))
     if max_df_frac is not None:
-        dfreq = dfreq.where(F.col("df") <= F.lit(float(max_df_frac) * n_docs))
+        dfreq = dfreq.where(F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs"))
     w = tf.join(dfreq, "tok").withColumn(
-        "w", F.col("tf") * (F.log(F.lit(float(n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))
-    )
+        "w", F.col("tf") * (F.log(F.col("n_docs") / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))
+    ).drop("n_docs")
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     return (
         w.join(norms, "id")
@@ -81,6 +96,7 @@ def link_mentions(
     text_col: str = "text",
     alpha: float = 0.7,
     max_df_frac: float | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(doc_id, surface, entity_id, score) — argmax candidate per mention.
 
@@ -91,7 +107,7 @@ def link_mentions(
     guard at web scale; see tfidf_weights).
     """
     cands = generate_candidates(docs, aliases, id_col, text_col)
-    doc_w = tfidf_weights(docs, id_col, text_col, max_df_frac).withColumnRenamed("id", "doc_id")
+    doc_w = tfidf_weights(docs, id_col, text_col, max_df_frac, n_docs).withColumnRenamed("id", "doc_id")
     ctx_w = tfidf_weights(
         aliases.select("entity_id", "context").distinct(), "entity_id", "context"
     ).withColumnRenamed("id", "entity_id")

@@ -64,7 +64,10 @@ def deterministic_split(
     for f in fracs:
         lo = frac_to_hex_threshold(acc)
         acc += f
-        hi = frac_to_hex_threshold(min(acc, 1.0))
+        # Float accumulation can land epsilon-under 1.0 (e.g. [0.1]*10 sums
+        # to 0.9999999999999999); without the snap, keys hashing to exactly
+        # 'ffffffff' would fall in NO split, breaking exhaustiveness.
+        hi = frac_to_hex_threshold(1.0 if acc >= 1.0 - 1e-9 else acc)
         bounds.append((lo, hi))
     h = sample_hash_col(F.col(key_col), salt)
     return [df.where((h >= lo) & (h < hi)) for lo, hi in bounds]

@@ -121,28 +121,32 @@ def embedding_near_dup_pairs(
     care about). ``n_planes=0`` opts into exact all-pairs — a quadratic
     crossJoin, the small-corpus / recall-baseline path ONLY; never call it
     with defaults on a large corpus."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if n_planes > 0:
         all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
         buckets = lsh_buckets_udf(all_planes)
-        ab = corpus.select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("va"),
-            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
-        )
-        bb = corpus.select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("vb"),
+        # ONE exploded plan aliased twice: both self-join sides share the
+        # identical subtree, so Spark's ReuseExchange dedupes the bucket
+        # shuffle AND the Arrow bucket kernel runs once, not once per side.
+        e = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
             F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
         )
         pairs = (
-            ab.join(bb, ["tbl", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "va", "id_b", "vb")
+            e.alias("A")
+            .join(e.alias("B"), ["tbl", "bucket"])
+            .where(F.col("A.id") < F.col("B.id"))
+            .select(
+                F.col("A.id").alias("id_a"),
+                F.col("A.v").alias("va"),
+                F.col("B.id").alias("id_b"),
+                F.col("B.v").alias("vb"),
+            )
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
@@ -183,35 +187,50 @@ def ivf_fit_centroids(
     (the DuckDB driver oracle) can reproduce the fit bit-for-bit up to
     float-summation noise.
     """
+    import shutil
+    import tempfile
+
     base = corpus.select(F.col(id_col).alias("_fid"), F.col(vec_col).alias("v"))
+    staging = None
     if fit_limit is not None:
-        base = (
-            base.orderBy(F.md5(F.concat(F.col("_fid").cast("string"), F.lit(f"|s{seed}"))))
-            .limit(fit_limit)
-        )
-    init = (
-        base.select("v", F.md5(F.concat(F.col("_fid").cast("string"), F.lit(f"|{seed}"))).alias("h"))
-        .orderBy("h")
-        .limit(nlist)
-        .collect()
-    )
-    centroids = [list(map(float, r.v)) for r in init]
-    for _ in range(iters):
-        assigned = base.select(
-            F.col("v"),
-            _nearest_centroid_col(F.col("v"), centroids).alias("c"),
-        )
-        agg = (
-            assigned.select("c", F.posexplode("v").alias("i", "x"))
-            .groupBy("c", "i")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("c")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
-            .select("c", F.transform("dims", lambda d: d["m"]).alias("centroid"))
+        # Materialize the hash-ordered sample ONCE (parquet staging, same
+        # pattern as kg_store.merge_triples): without this the lazy
+        # orderBy(md5).limit plan — a corpus-wide sort — re-executes for the
+        # init collect AND every Lloyd iteration (iters+1 full-corpus passes
+        # at 10^9 vectors instead of one).
+        sample = base.orderBy(
+            F.md5(F.concat(F.col("_fid").cast("string"), F.lit(f"|s{seed}")))
+        ).limit(fit_limit)
+        staging = tempfile.mkdtemp(prefix="spark_ivf_fit_")
+        sample.write.mode("overwrite").parquet(staging)
+        base = corpus.sparkSession.read.schema(sample.schema).parquet(staging)
+    try:
+        init = (
+            base.select("v", F.md5(F.concat(F.col("_fid").cast("string"), F.lit(f"|{seed}"))).alias("h"))
+            .orderBy("h")
+            .limit(nlist)
             .collect()
         )
-        new = {r.c: list(map(float, r.centroid)) for r in agg}
-        centroids = [new.get(c, centroids[c]) for c in range(len(centroids))]
+        centroids = [list(map(float, r.v)) for r in init]
+        for _ in range(iters):
+            assigned = base.select(
+                F.col("v"),
+                _nearest_centroid_col(F.col("v"), centroids).alias("c"),
+            )
+            agg = (
+                assigned.select("c", F.posexplode("v").alias("i", "x"))
+                .groupBy("c", "i")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("c")
+                .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
+                .select("c", F.transform("dims", lambda d: d["m"]).alias("centroid"))
+                .collect()
+            )
+            new = {r.c: list(map(float, r.centroid)) for r in agg}
+            centroids = [new.get(c, centroids[c]) for c in range(len(centroids))]
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
     return centroids
 
 

@@ -185,10 +185,17 @@ def snapshot(spark: SparkSession, path: str, snapshot_path: str) -> str:
 def clear(spark: SparkSession, path: str) -> None:
     """A10 destructive clear — ``CLEAR ALL`` (src/fuseki_client.py:155-185)
     ≡ ``TRUNCATE TABLE``. Sandbox form drops the table directory; Iceberg
-    form is ``TRUNCATE`` with the snapshot making it reversible."""
+    form is ``TRUNCATE`` with the snapshot making it reversible.
+
+    Also removes the ``.compacting``/``.old``/``.merge_staging`` siblings a
+    crash-interrupted ``compact()``/``merge_triples()`` may have left —
+    otherwise ``_recover_interrupted_compact`` would see the cleared path as
+    an interrupted swap and resurrect the truncated data."""
     import shutil
 
-    shutil.rmtree(path, ignore_errors=True)
+    base = path.rstrip("/")
+    for p in (base, base + ".compacting", base + ".old", base + ".merge_staging"):
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def stats(spark: SparkSession, path: str) -> DataFrame:

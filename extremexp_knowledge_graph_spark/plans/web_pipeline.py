@@ -181,7 +181,9 @@ def run_web_pipeline(
         todo, pend = _pending(spark, man, S2, docs)
         if pend:
             in_counts = _bucket_counts(todo)
-            linked = link_mentions(todo, aliases).join(
+            # n_docs from the lineage counts just taken — saves tfidf_weights
+            # deriving N with its own aggregation over the tf exchange
+            linked = link_mentions(todo, aliases, n_docs=sum(in_counts.values())).join(
                 todo.select("doc_id", "url_bucket"), "doc_id"
             )
             (

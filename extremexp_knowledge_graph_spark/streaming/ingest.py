@@ -52,9 +52,12 @@ def stream_papers_to_triples(
         batch_df = batch_df.withColumn("prov", F.input_file_name()).localCheckpoint()
         bad = batch_df.where(F.col(CORRUPT_COL).isNotNull())
         good = batch_df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        if quarantine_path is not None and bad.limit(1).count() > 0:
+        if quarantine_path is not None:
             # quarantine row = raw record + source file + reason (A12's
-            # error-report file, as a queryable table)
+            # error-report file, as a queryable table). Written
+            # unconditionally: an empty append is one no-op task, while a
+            # `bad.limit(1).count()` emptiness probe costs a scheduler
+            # round-trip per micro-batch.
             bad.select(
                 F.col(CORRUPT_COL).alias("raw"),
                 F.col("prov").alias("source_file"),

@@ -18,7 +18,9 @@ from extremexp_knowledge_graph_spark.functions.year import year_from_pdf_url
 from tests.test_scalars import py_sanitize, py_value, py_year
 
 SETTINGS = dict(
-    max_examples=int(__import__("os").environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "15")),
+    # Default 200: these four kernels ARE the reference-parity contract
+    # (D1/D3/D4/D5); the env knob drops it for quick local iterations.
+    max_examples=int(__import__("os").environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "200")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
