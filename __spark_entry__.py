@@ -202,6 +202,139 @@ def _q_kg_paper_details(spark, sf_dir):
     return paper_details(t, limit=10)
 
 
+def _mint_papers(docs: DataFrame) -> DataFrame:
+    """Deterministic paper-shaped rows (schema.PAPER_SCHEMA) minted from the
+    documents table, engineered so every branch of the flagship mapper
+    (operators/papers_to_triples.py — SURVEY §2 C/D families) fires AND every
+    scalar kernel output is bit-replayable in DuckDB:
+
+    * titles cover NULL (→'Unknown' URI), '' (→'unknown'), punctuation strip
+      + whitespace collapse + trim, and the all-special 'sanitized_empty'
+      branch — alphabet restricted to chars where Python (?U)\\w/\\s and RE2
+      ASCII classes agree (ASCII + '±', which both engines strip);
+    * urls cover valid arXiv ids (YY<90→20YY, ≥90→19YY), INVALID arXiv
+      months falling through to the last-standalone-year rule, no-year urls
+      (pdfUrl without year triple), and '' (no pdfUrl at all);
+    * year==0 and NULL year are dropped (Python truthiness, B3);
+    * metric values cover %→/100, plain decimal, int→'x.0', trailing-zero
+      canonicalization ('58.10'→'58.1'), the unparseable→string fallback,
+      and ''→no triple — all magnitudes inside the range where DuckDB's
+      shortest-roundtrip DOUBLE::VARCHAR equals Python repr (verified in the
+      oracle);
+    * ranks cover int parse, ValueError→dropped, ''→dropped.
+    """
+    d = F.col("doc_id")
+
+    def pick(lst, idx):
+        return F.element_at(F.array(*[F.lit(x) for x in lst]), (idx + 1).cast("int"))
+
+    w1 = pick(["Neural", "Bayesian", "Convex", "Sparse", "Quantum"], d % 5)
+    w2 = pick(["Networks", "Inference", "Optimization", "Coding"], d % 4)
+    title = (
+        F.when(d % 7 == 0, F.lit(None).cast("string"))
+        .when(d % 7 == 1, F.lit(""))
+        .when(d % 7 == 2, F.concat(F.lit("  Deep & Fast: Study "), d.cast("string"), F.lit("  ")))
+        .when(d % 7 == 3, F.lit("@@##$$"))
+        .otherwise(F.concat(F.lit("Survey of "), w1, F.lit(" "), w2, F.lit(" "), d.cast("string")))
+    )
+    year = (
+        F.when(d % 6 == 0, F.lit(0)).when(d % 6 == 1, F.lit(None)).otherwise((F.lit(1990) + d % 30))
+    ).cast("int")
+    yy = F.lpad((d % 100).cast("string"), 2, "0")
+    mm = F.lpad((1 + d % 14).cast("string"), 2, "0")
+    url = (
+        F.when(d % 4 == 0, F.concat(F.lit("https://arxiv.org/pdf/"), yy, mm, F.lit("."), (d + 10000).cast("string"), F.lit("v1.pdf")))
+        .when(d % 4 == 1, F.concat(F.lit("http://proceedings.example.org/"), (F.lit(1950) + d % 100).cast("string"), F.lit("/paper"), d.cast("string"), F.lit(".pdf")))
+        .when(d % 4 == 2, F.concat(F.lit("http://no-year.example.org/paper"), d.cast("string"), F.lit(".pdf")))
+        .otherwise(F.lit(""))
+    )
+    origin = F.when(d % 5 == 0, F.concat(F.lit("https://paperswithcode.com/paper/p"), d.cast("string"))).otherwise(F.lit(""))
+    empty = F.array().cast("array<string>")
+    tasks = (
+        F.when(d % 3 == 0, F.array(F.lit("Image Classification")))
+        .when(d % 3 == 1, F.array(F.lit("Speech Recognition"), F.lit("Image Classification")))
+        .otherwise(empty)
+    )
+    datasets = (
+        F.when(d % 4 == 0, F.array(F.lit("ImageNet-1k")))
+        .when(d % 4 == 1, F.array(F.lit("CIFAR 10"), F.lit("MNIST")))
+        .otherwise(empty)
+    )
+    methods = (
+        F.when(d % 5 == 0, F.array(F.lit("Adam ± SGD")))
+        .when(d % 5 == 1, F.array(F.lit("Dropout")))
+        .when(d % 5 == 2, F.array(F.lit("Batch Norm.")))
+        .otherwise(empty)
+    )
+
+    def result_struct(i: int):
+        return F.struct(
+            pick(["Image Classification", "", "Object Detection"], (d + i) % 3).alias("task"),
+            pick(["ImageNet-1k", "COCO", ""], (d + i) % 3).alias("dataset"),
+            pick(["ResNet-50 (ours)", "", "ViT B/16"], (d + 2 * i) % 3).alias("model"),
+            pick(["Accuracy", "Top-1 Error", ""], (d + i) % 3).alias("metric"),
+            pick(["92.5%", "0.873", "11030210", "state-of-the-art", "", "58.10"], (d + i) % 6).alias("value"),
+            pick(["3", "N/A", "", "12"], (d + i) % 4).alias("rank"),
+        )
+
+    results = F.slice(F.array(result_struct(0), result_struct(1)), 1, (d % 3).cast("int"))
+    return docs.select(
+        title.alias("title"),
+        year.alias("year"),
+        url.alias("url"),
+        origin.alias("origin"),
+        tasks.alias("tasks"),
+        datasets.alias("datasets"),
+        methods.alias("methods"),
+        results.alias("results"),
+        F.lit(None).cast("string").alias("prov"),
+    )
+
+
+def _q_kg_papers_triples(spark, sf_dir):
+    """The flagship papers→triples mapper (C1-C6, D1-D9, B3-B4, E2;
+    operators/papers_to_triples.py::papers_to_triples — the Spark
+    re-expression of extremexp_kg_matic/src/utils.py:209-365) run over
+    deterministically minted paper rows; the oracle replays every branch and
+    every scalar kernel (sanitize/year/value/rank) in DuckDB SQL.
+    obj_is_iri is cast to int on both sides for engine-neutral hashing."""
+    from extremexp_knowledge_graph_spark.operators.papers_to_triples import papers_to_triples
+
+    t = papers_to_triples(_mint_papers(_docs(spark, sf_dir)))
+    return t.select(
+        "subj", "pred", "obj", F.col("obj_is_iri").cast("int").alias("obj_is_iri"), "obj_datatype"
+    )
+
+
+def _q_kg_entity_view_sets(spark, sf_dir):
+    """Set-valued star pattern (G1 multi-valued variant; plans/queries.py::
+    entity_view_sets): per paper the FULL sorted sets of mentioned tasks/
+    datasets/employed methods over the flagship mapper's triples. Sets are
+    array_join'd to '|' strings for engine-neutral hashing (empty set → '')."""
+    from extremexp_knowledge_graph_spark.operators.papers_to_triples import papers_to_triples
+    from extremexp_knowledge_graph_spark.plans.queries import entity_view_sets
+    from extremexp_knowledge_graph_spark.schema import (
+        CLS_PAPER,
+        P_EMPLOYS_METHOD,
+        P_MENTIONS_DATASET,
+        P_MENTIONS_TASK,
+    )
+
+    t = papers_to_triples(_mint_papers(_docs(spark, sf_dir)))
+    v = entity_view_sets(
+        t,
+        CLS_PAPER,
+        {"tasks": P_MENTIONS_TASK, "datasets": P_MENTIONS_DATASET, "methods": P_EMPLOYS_METHOD},
+    )
+    empty = F.array().cast("array<string>")
+    return v.select(
+        "subj",
+        F.array_join(F.coalesce("tasks", empty), "|").alias("tasks"),
+        F.array_join(F.coalesce("datasets", empty), "|").alias("datasets"),
+        F.array_join(F.coalesce("methods", empty), "|").alias("methods"),
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal decode plumbing through the REAL Arrow mapInPandas kernel
     (operators/multimodal.py::decode_features): documents' utf-8 bytes stand
@@ -546,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_doc_mention_stats": _q_kg_doc_mention_stats,
         "kg_class_counts": _q_kg_class_counts,
         "kg_paper_details": _q_kg_paper_details,
+        "kg_papers_triples": _q_kg_papers_triples,
+        "kg_entity_view_sets": _q_kg_entity_view_sets,
         "multimodal_features": _q_multimodal_features,
         "text_stats": _q_text_stats,
         "text_topk_per_lang": _q_text_topk_per_lang,
@@ -797,6 +932,220 @@ where title is not null
 order by year desc nulls last, subj asc
 limit 10
 """
+
+# ---------------------------------------------------------------------------
+# kg_papers_triples: full-SQL replay of the flagship papers→triples mapper
+# (operators/papers_to_triples.py), branch by branch and kernel by kernel —
+# the same strategy as the IVF oracle's Lloyd replay. Kernel fidelity rests
+# on three verified facts: (1) the minted-title alphabet is restricted to
+# chars where Python (?U)\w/\s and RE2's ASCII classes agree; (2) DuckDB's
+# shortest-roundtrip DOUBLE::VARCHAR equals Python repr(float) on the minted
+# value range (no scientific-notation crossover); (3) RE2 \b behaves like
+# Python \b on ASCII.
+# ---------------------------------------------------------------------------
+def _san_sql(x: str) -> str:
+    """DuckDB replay of functions/uri.py::sanitize_for_uri (D1)."""
+    core = (
+        "regexp_replace(regexp_replace(regexp_replace(" + x
+        + r", '^\s+|\s+$', '', 'g'), '[^\w\s-]', '', 'g'), '[-\s]+', '_', 'g')"
+    )
+    return (
+        "(case when " + x + " is null or " + x + " = '' then 'unknown' when "
+        + core + " = '' then 'sanitized_empty' else " + core + " end)"
+    )
+
+
+def _url_year_sql(u: str) -> str:
+    """DuckDB replay of functions/year.py::year_from_pdf_url (D3)."""
+    ax1 = "regexp_extract(" + u + r", '(?i)arxiv\.org/pdf/(\d{2})(\d{2})\.\d+', 1)"
+    ax2 = "regexp_extract(" + u + r", '(?i)arxiv\.org/pdf/(\d{2})(\d{2})\.\d+', 2)"
+    yy = "try_cast(" + ax1 + " as int)"
+    mm = "try_cast(" + ax2 + " as int)"
+    return (
+        "(case when " + u + " is null or " + u + " = '' then NULL when "
+        + ax1 + " <> '' and " + mm + " between 1 and 12 then (case when "
+        + yy + " >= 90 then " + yy + " + 1900 else " + yy + " + 2000 end)::varchar "
+        + "else (regexp_extract_all(" + u + r", '\b(19\d{2}|20\d{2})\b', 1))[-1] end)"
+    )
+
+
+def _metric_lex_sql(v: str) -> str:
+    """DuckDB replay of functions/values.py::parse_metric_value lexical (D4/D5):
+    str(float(x)) ≡ shortest-roundtrip DOUBLE::VARCHAR on the minted range."""
+    pct = "trim(replace(" + v + ", '%', ''))"
+    return (
+        "(case when contains(" + v + ", '%') then (case when try_cast(" + pct
+        + " as double) is not null then ((" + pct + ")::double / 100.0)::varchar else "
+        + v + " end) else (case when try_cast(" + v + " as double) is not null then (("
+        + v + ")::double)::varchar else " + v + " end) end)"
+    )
+
+
+def _metric_dt_sql(v: str) -> str:
+    pct = "trim(replace(" + v + ", '%', ''))"
+    dec = "'http://www.w3.org/2001/XMLSchema#decimal'"
+    st = "'http://www.w3.org/2001/XMLSchema#string'"
+    return (
+        "(case when contains(" + v + ", '%') then (case when try_cast(" + pct
+        + " as double) is not null then " + dec + " else " + st + " end) "
+        + "else (case when try_cast(" + v + " as double) is not null then " + dec
+        + " else " + st + " end) end)"
+    )
+
+
+def _papers_triples_oracle() -> str:
+    from extremexp_knowledge_graph_spark import schema as S
+
+    ns = S.NS
+
+    def lit(s: str) -> str:
+        return "'" + s + "'"
+
+    san_title = _san_sql("coalesce(title, 'Unknown')")
+    triple_cols = "subj, pred, obj, obj_is_iri, obj_datatype"
+    # mention families: (array column, class local-name, name pred, link pred)
+    mention_families = [
+        ("tasks", "Task", S.P_TASK_NAME, S.P_MENTIONS_TASK),
+        ("datasets", "Dataset", S.P_DATASET_NAME, S.P_MENTIONS_DATASET),
+        ("methods", "Method", S.P_METHOD_NAME, S.P_EMPLOYS_METHOD),
+    ]
+    mention_sel = " union all ".join(
+        f"select subj, unnest({col}) as name, '{cls}' as cls, "
+        f"{lit(name_p)} as name_pred, {lit(link_p)} as link_pred from p"
+        for col, cls, name_p, link_p in mention_families
+    )
+    # result-level entity fan-outs: (field, class local-name, name pred,
+    # link pred, name literal typed xsd:string?) — task/dataset names are
+    # UNTYPED plain literals, model config is typed (src/utils.py:346,353,361)
+    rr_entities = [
+        ("task", "Task", S.P_TASK_NAME, S.P_EVALUATES_TASK, False),
+        ("dataset", "Dataset", S.P_DATASET_NAME, S.P_ON_DATASET, False),
+        ("model", "ModelConfiguration", S.P_CONFIGURATION_STRING, S.P_ACHIEVED_BY_MODEL, True),
+    ]
+    rr_entity_branches = " union all ".join(
+        f"""
+  select {lit(ns)} || '{cls}_' || {_san_sql(f)}, {lit(S.RDF_TYPE)}, {lit(ns + cls)}, 1, NULL::varchar from rr where {f} <> ''
+  union all
+  select {lit(ns)} || '{cls}_' || {_san_sql(f)}, {lit(name_p)}, {f}, 0, {f"{lit(S.XSD_STRING)}" if typed else "NULL::varchar"} from rr where {f} <> ''
+  union all
+  select ruri, {lit(link_p)}, {lit(ns)} || '{cls}_' || {_san_sql(f)}, 1, NULL::varchar from rr where {f} <> ''"""
+        for f, cls, name_p, link_p, typed in rr_entities
+    )
+    return f"""
+with papers as (
+  select doc_id,
+    case when doc_id % 7 = 0 then NULL
+         when doc_id % 7 = 1 then ''
+         when doc_id % 7 = 2 then '  Deep & Fast: Study ' || doc_id || '  '
+         when doc_id % 7 = 3 then '@@##$$'
+         else 'Survey of ' || (['Neural','Bayesian','Convex','Sparse','Quantum'])[(doc_id % 5)::int + 1]
+              || ' ' || (['Networks','Inference','Optimization','Coding'])[(doc_id % 4)::int + 1]
+              || ' ' || doc_id end as title,
+    case when doc_id % 6 = 0 then 0 when doc_id % 6 = 1 then NULL else 1990 + doc_id % 30 end as year,
+    case when doc_id % 4 = 0 then 'https://arxiv.org/pdf/' || lpad((doc_id % 100)::varchar, 2, '0')
+              || lpad((1 + doc_id % 14)::varchar, 2, '0') || '.' || (doc_id + 10000) || 'v1.pdf'
+         when doc_id % 4 = 1 then 'http://proceedings.example.org/' || (1950 + doc_id % 100) || '/paper' || doc_id || '.pdf'
+         when doc_id % 4 = 2 then 'http://no-year.example.org/paper' || doc_id || '.pdf'
+         else '' end as url,
+    case when doc_id % 5 = 0 then 'https://paperswithcode.com/paper/p' || doc_id else '' end as origin,
+    case when doc_id % 3 = 0 then ['Image Classification']
+         when doc_id % 3 = 1 then ['Speech Recognition','Image Classification']
+         else []::varchar[] end as tasks,
+    case when doc_id % 4 = 0 then ['ImageNet-1k']
+         when doc_id % 4 = 1 then ['CIFAR 10','MNIST']
+         else []::varchar[] end as datasets,
+    case when doc_id % 5 = 0 then ['Adam ± SGD']
+         when doc_id % 5 = 1 then ['Dropout']
+         when doc_id % 5 = 2 then ['Batch Norm.']
+         else []::varchar[] end as methods
+  from documents
+),
+p as (
+  select doc_id, title, year, url, origin, tasks, datasets, methods,
+         {san_title} as paper_san,
+         {lit(ns)} || 'Paper_' || {san_title} as subj,
+         {_url_year_sql('url')} as url_year
+  from papers
+),
+rbase as (
+  select doc_id, subj, paper_san, unnest(range(0, doc_id % 3)) as idx from p
+),
+rr as (
+  select doc_id, subj, idx,
+    {lit(ns)} || paper_san || '_result_' || idx as ruri,
+    (['Image Classification','','Object Detection'])[((doc_id + idx) % 3)::int + 1] as task,
+    (['ImageNet-1k','COCO',''])[((doc_id + idx) % 3)::int + 1] as dataset,
+    (['ResNet-50 (ours)','','ViT B/16'])[((doc_id + 2*idx) % 3)::int + 1] as model,
+    (['Accuracy','Top-1 Error',''])[((doc_id + idx) % 3)::int + 1] as metric,
+    (['92.5%','0.873','11030210','state-of-the-art','','58.10'])[((doc_id + idx) % 6)::int + 1] as value,
+    (['3','N/A','','12'])[((doc_id + idx) % 4)::int + 1] as rnk
+  from rbase
+),
+mention as ({mention_sel}),
+all_t as (
+  -- paper scalars (B3 truthiness gates; _paper_scalars)
+  select subj, {lit(S.RDF_TYPE)} as pred, {lit(S.CLS_PAPER)} as obj, 1 as obj_is_iri, NULL::varchar as obj_datatype from p
+  union all
+  select subj, {lit(S.P_TITLE)}, title, 0, {lit(S.XSD_STRING)} from p where title is not null and title <> ''
+  union all
+  select subj, {lit(S.P_PDF_URL)}, url, 0, {lit(S.XSD_ANYURI)} from p where url <> ''
+  union all
+  select subj, {lit(S.P_YEAR)}, url_year, 0, {lit(S.XSD_GYEAR)} from p where url <> '' and url_year is not null
+  union all
+  select subj, {lit(S.P_YEAR)}, year::varchar, 0, {lit(S.XSD_GYEAR)} from p where year is not null and year <> 0
+  union all
+  select subj, {lit(S.P_PWC_URL)}, origin, 0, {lit(S.XSD_ANYURI)} from p where origin <> ''
+  union all
+  -- paper-level mention lists (_mentions; names typed xsd:string)
+  select {lit(ns)} || cls || '_' || {_san_sql('name')}, {lit(S.RDF_TYPE)}, {lit(ns)} || cls, 1, NULL::varchar from mention
+  union all
+  select {lit(ns)} || cls || '_' || {_san_sql('name')}, name_pred, name, 0, {lit(S.XSD_STRING)} from mention
+  union all
+  select subj, link_pred, {lit(ns)} || cls || '_' || {_san_sql('name')}, 1, NULL::varchar from mention
+  union all
+  -- results (_results; unconditional result spine + gated fan-out)
+  select ruri, {lit(S.RDF_TYPE)}, {lit(S.CLS_REPORTED_RESULT)}, 1, NULL::varchar from rr
+  union all
+  select subj, {lit(S.P_REPORTS_RESULT)}, ruri, 1, NULL::varchar from rr
+  union all
+  select ruri, {lit(S.P_REPORTED_IN_PAPER)}, subj, 1, NULL::varchar from rr
+  union all
+  select ruri, {lit(S.P_METRIC_NAME)}, metric, 0, {lit(S.XSD_STRING)} from rr where metric <> ''
+  union all
+  select ruri, {lit(S.P_METRIC_VALUE)}, {_metric_lex_sql('value')}, 0, {_metric_dt_sql('value')} from rr where value <> ''
+  union all
+  select ruri, {lit(S.P_RANK)}, try_cast(rnk as bigint)::varchar, 0, {lit(S.XSD_INTEGER)} from rr
+    where rnk <> '' and try_cast(rnk as bigint) is not null
+  union all {rr_entity_branches}
+)
+select distinct {triple_cols} from all_t
+"""
+
+
+ORACLE["kg_papers_triples"] = _papers_triples_oracle()
+
+
+def _entity_view_sets_oracle() -> str:
+    from extremexp_knowledge_graph_spark import schema as S
+
+    inner = _papers_triples_oracle()
+    return f"""
+with t as ({inner}),
+members as (
+  select distinct subj from t
+  where pred = '{S.RDF_TYPE}' and obj = '{S.CLS_PAPER}'
+)
+select m.subj,
+  coalesce(string_agg(obj, '|' order by obj) filter (pred = '{S.P_MENTIONS_TASK}'), '') as tasks,
+  coalesce(string_agg(obj, '|' order by obj) filter (pred = '{S.P_MENTIONS_DATASET}'), '') as datasets,
+  coalesce(string_agg(obj, '|' order by obj) filter (pred = '{S.P_EMPLOYS_METHOD}'), '') as methods
+from members m left join t on t.subj = m.subj
+group by m.subj
+"""
+
+
+ORACLE["kg_entity_view_sets"] = _entity_view_sets_oracle()
+
 
 # decode_features stub kernel in SQL: md5 of the utf-8 payload; feature[i] =
 # float32(hexchunk_i / 65535) re-rounded in double — the 4-hex-digit parse

@@ -45,6 +45,27 @@ def entity_view(triples: DataFrame, class_iri: str, props: dict[str, str]) -> Da
     return out
 
 
+def entity_view_sets(triples: DataFrame, class_iri: str, props: dict[str, str]) -> DataFrame:
+    """Set-valued entity view: like ``entity_view`` but each prop column is
+    the SORTED ARRAY of all values (rdflib's multi-valued predicate
+    semantics, e.g. a paper's full ``mentionsTask`` set rather than the
+    minimum). Same single shuffle on subj; per-group state is the value set,
+    bounded by per-entity fan-out (ontology-bounded, not corpus-bounded).
+    Subjects lacking a predicate get NULL (G2 OPTIONAL ≡ left join)."""
+    members = triples.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == class_iri)).select("subj").distinct()
+    wanted = {v: k for k, v in props.items()}
+    rows = triples.join(members, "subj", "left_semi").where(F.col("pred").isin(list(wanted)))
+    pivoted = (
+        rows.groupBy("subj")
+        .pivot("pred", list(wanted))
+        .agg(F.array_sort(F.collect_set("obj")))
+    )
+    out = members.join(pivoted, "subj", "left")
+    for pred_iri, col_name in wanted.items():
+        out = out.withColumnRenamed(pred_iri, col_name)
+    return out
+
+
 def paper_details(triples: DataFrame, title_contains: str | None = None, limit: int = 10) -> DataFrame:
     """The exemplar query (query_paper_details.rq:1-15): papers with title and
     OPTIONAL pdfUrl/papersWithCodeUrl/year; FILTER CONTAINS on lowered title

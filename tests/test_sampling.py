@@ -60,6 +60,18 @@ def test_split_disjoint_exhaustive(spark):
     assert len(tr) > len(va) and len(tr) > len(te)
 
 
+def test_split_epsilon_accumulation_is_exhaustive(spark):
+    """[0.1]*10 float-sums to 0.9999999999999999; the last bound must snap to
+    the open-top sentinel so keys hashing to 'ffffffff' still land in a split
+    (advisor finding: without the snap they fall in NO split, ~2^-32/key)."""
+    df = _docs(spark)
+    splits = deterministic_split(df, [0.1] * 10)
+    got = [s for sp in splits for s in (r.doc_id for r in sp.collect())]
+    assert sorted(got) == list(range(400))  # exhaustive, no double-assignment
+    # premise: the naive accumulation really does undershoot 1.0
+    assert sum([0.1] * 10) != 1.0 and frac_to_hex_threshold(1.0) == "gggggggg"
+
+
 def test_stratified_fractions(spark):
     df = _docs(spark)
     out = stratified_sample(df, {"en": 1.0, "de": 0.0}, default_frac=0.5)

@@ -56,6 +56,25 @@ def test_store_snapshot_and_clear(spark, tmp_path):
     assert spark.read.parquet(snap).count() == 1
 
 
+def test_clear_removes_crash_siblings(spark, tmp_path):
+    """A10 CLEAR ALL must also drop the .compacting/.old/.merge_staging
+    siblings a crash-interrupted compact()/merge left behind — otherwise
+    _recover_interrupted_compact sees the cleared path as an interrupted
+    swap and silently resurrects the truncated data."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    kg_store.write_triples(_triples_df(spark, [("s", "p", "o")]), path)
+    # simulate a crash between compact()'s two renames: live dir moved aside
+    shutil.copytree(path, path + ".old")
+    shutil.copytree(path, path + ".compacting")
+    kg_store.clear(spark, path)
+    assert kg_store.read_triples(spark, path).count() == 0  # nothing resurrected
+    import os
+
+    assert not os.path.exists(path + ".old") and not os.path.exists(path + ".compacting")
+
+
 def test_manifest_resume(spark, tmp_path):
     mpath = str(tmp_path / "manifest")
     calls = []
