@@ -124,9 +124,13 @@ def embedding_near_dup_pairs(
     if n_planes > 0:
         all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
         buckets = lsh_buckets_udf(all_planes)
-        # ONE exploded plan aliased twice: both self-join sides share the
-        # identical subtree, so Spark's ReuseExchange dedupes the bucket
-        # shuffle AND the Arrow bucket kernel runs once, not once per side.
+        # ONE exploded plan aliased twice. Measured reality (sf0.01 explain):
+        # ReuseExchange does NOT currently fire across ArrowEvalPython
+        # subplans (PythonUDF expressions defeat canonicalized-plan
+        # equality), so the bucket kernel still evaluates once per side — a
+        # 2× constant on a cheap matmul, not a scale blocker. The shared
+        # shape is kept: it reads as the single logical input it is, and
+        # inherits the dedup for free if Spark's canonicalization improves.
         e = corpus.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
