@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from extremexp_knowledge_graph_spark.operators.dedup import minhash_dedup_pairs
+from extremexp_knowledge_graph_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    minhash_pairs_between,
+)
 
 
 def connected_components(
@@ -116,4 +119,82 @@ def canonicalize_entities(
             "entity_id",
             F.coalesce("comp", F.col("entity_id")).alias("canonical_id"),
         )
+    )
+
+
+def canonicalize_entities_incremental(
+    new_entities: DataFrame,
+    existing_entities: DataFrame,
+    existing_map: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "name",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Canonicalize a NEW batch against an already-canonicalized corpus:
+    (entity_id, canonical_id) for the new entities only.
+
+    The incremental-ER contract (the resume-path counterpart of
+    ``canonicalize_entities``, needed because re-clustering 10^9 historical
+    entities per ingest batch is not an option and already-materialized
+    canonical IRIs must not be rewritten):
+
+    * **Stability** — ``existing_map`` rows never change; this function only
+      ASSIGNS the delta. A new entity bridging two existing groups does NOT
+      merge them (that would rewrite stored triples); the bridge resolves to
+      the minimum canonical id and the residual merge belongs to the next
+      full recanonicalization — the standard incremental compromise.
+    * **Adoption** — a new entity near-equal (LSH + Jaccard ≥ threshold, the
+      same blocking as the batch path) to ≥1 existing entity adopts the
+      minimum canonical id among its matches.
+    * **Transitivity within the batch** — connected components run over
+      new↔new edges; a component adopts the minimum canonical any member
+      adopted, so a chain new₂—new₁—old resolves new₂ to old's canonical
+      even though new₂ matched no existing entity directly.
+    * **Novel entities** — components (or singletons) with no adoption get
+      canonical = min new entity_id, exactly like the batch path.
+
+    Scale shape: the only work touching the history is ONE cross-set
+    band-bucket join (``minhash_pairs_between`` — the history never
+    self-joins) plus one broadcast-size join from matches to their map rows;
+    everything else is O(batch).
+    """
+    new_e = new_entities.select(F.col(id_col).alias("entity_id"), F.col(name_col).alias("name"))
+    old_e = existing_entities.select(F.col(id_col).alias("entity_id"), F.col(name_col).alias("name"))
+
+    # 1) direct adoption edges: new → existing → existing canonical
+    adopt_edges = minhash_pairs_between(
+        new_e, old_e, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, n=shingle_n, id_col="entity_id", text_col="name",
+    )
+    direct = (
+        adopt_edges.join(
+            existing_map.select(F.col("entity_id").alias("id_b"), "canonical_id"), "id_b"
+        )
+        .groupBy(F.col("id_a").alias("entity_id"))
+        .agg(F.min("canonical_id").alias("adopt_c"))
+    )
+
+    # 2) new↔new components (same blocking as the batch path)
+    new_edges = minhash_dedup_pairs(
+        new_e, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, n=shingle_n, id_col="entity_id", text_col="name",
+    ).select("id_a", "id_b")
+    comp = connected_components(new_edges, "id_a", "id_b").withColumnRenamed("node", "entity_id")
+
+    # 3) resolve: component-level min adoption, else component min id, else self
+    base = (
+        new_e.select("entity_id")
+        .join(comp, "entity_id", "left")
+        .withColumn("comp", F.coalesce("comp", F.col("entity_id")))
+    )
+    comp_adopt = (
+        base.join(direct, "entity_id", "left")
+        .groupBy("comp")
+        .agg(F.min("adopt_c").alias("comp_c"))  # min ignores NULLs; all-NULL → NULL
+    )
+    return base.join(comp_adopt, "comp", "left").select(
+        "entity_id", F.coalesce("comp_c", F.col("comp")).alias("canonical_id")
     )

@@ -146,19 +146,14 @@ def minhash_signatures(
     return agg.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    num_hashes: int = 16,
-    bands: int = 4,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _band_rows(
+    df: DataFrame, num_hashes: int, bands: int, n: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing at least one band. (id_a, id_b)."""
+    """(id, band, band_sig) — one row per document per LSH band."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
-    band_rows = sig.select(
+    return sig.select(
         "id",
         F.posexplode(
             F.array(
@@ -169,6 +164,18 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band. (id_a, id_b)."""
+    band_rows = _band_rows(df, num_hashes, bands, n, id_col, text_col)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (
@@ -176,6 +183,53 @@ def minhash_lsh_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-set LSH near-dup pairs: (id_a ∈ left, id_b ∈ right, jaccard).
+
+    Candidates come only from left×right band-bucket collisions — the right
+    corpus never self-joins. This is the incremental-batch shape: matching a
+    small delta of N_new items against a 10^9-item history costs
+    O(N_new × bucket-collision rate), not the O(N_hist²) an all-pairs call
+    on the union would pay. Ids appearing in BOTH sets pair only with other
+    ids (a != b guard). Verified with true Jaccard like
+    ``minhash_dedup_pairs``.
+    """
+    la = _band_rows(left, num_hashes, bands, n, id_col, text_col).alias("a")
+    rb = _band_rows(right, num_hashes, bands, n, id_col, text_col).alias("b")
+    cand = (
+        la.join(rb, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_sig") == F.col("b.band_sig")))
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_l = shingles(left, n, id_col, text_col)
+    sh_r = shingles(right, n, id_col, text_col)
+    sz_l = sh_l.groupBy("id").agg(F.count("*").alias("sz_a")).withColumnRenamed("id", "id_a")
+    sz_r = sh_r.groupBy("id").agg(F.count("*").alias("sz_b")).withColumnRenamed("id", "id_b")
+    inter = (
+        cand.join(sh_l.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh_r.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sz_l, "id_a")
+        .join(sz_r, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -84,16 +84,29 @@ def append_manifest(spark: SparkSession, path: str, rows: list[dict]) -> None:
 def pending_keys(spark: SparkSession, manifest_path: str, stage: str, keys: DataFrame) -> DataFrame:
     """Anti-join input partition keys against completed manifest rows.
 
-    ``keys``: one column ``partition_key``. Returns only keys not yet done
-    for this stage.
+    ``keys``: column ``partition_key``, plus optionally a column ``fp`` — the
+    partition's CURRENT input fingerprint. Without ``fp``, a key is pending
+    iff it has no done row (pure resume). With ``fp``, a key is also pending
+    when every done row recorded a DIFFERENT fingerprint — i.e. the
+    partition's input changed since it completed, so incremental ingest
+    re-opens exactly the changed partitions (downstream overwrite/set-merge
+    semantics make re-running safe). A done row with a NULL recorded
+    fingerprint is treated as matching any input (legacy rows stay done).
     """
     done = (
         read_manifest(spark, manifest_path)
         .where((F.col("stage") == stage) & (F.col("status") == "done"))
-        .select("partition_key")
+        .select("partition_key", "input_fingerprint")
         .distinct()
     )
-    return keys.join(done, "partition_key", "left_anti")
+    if "fp" not in keys.columns:
+        return keys.join(done.select("partition_key").distinct(), "partition_key", "left_anti")
+    k, d = keys.alias("k"), done.alias("d")
+    cond = (F.col("k.partition_key") == F.col("d.partition_key")) & (
+        F.col("d.input_fingerprint").isNull()
+        | (F.col("d.input_fingerprint") == F.col("k.fp"))
+    )
+    return k.join(d, cond, "left_anti")
 
 
 def run_stage(

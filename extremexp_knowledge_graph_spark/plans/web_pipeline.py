@@ -21,10 +21,15 @@ Resume contract (north rule "resumable from checkpoint with per-partition
 lineage + metrics"): work is keyed by ``url_bucket = pmod(xxhash64(url), K)``.
 Each stage processes ALL pending buckets in ONE Spark job (never a driver
 loop over buckets), then appends one manifest row per bucket with
-rows_in/rows_out/wall. A restarted run anti-joins its input against the
-manifest and recomputes only buckets that never completed; S4's store merge
-is idempotent anyway (set semantics), so a crash between write and manifest
-append cannot duplicate triples.
+rows_in/rows_out/wall and the bucket's input FINGERPRINT
+(``count:bit_xor(xxhash64(key))``). A restarted run anti-joins its input against
+the manifest and recomputes only buckets that never completed — or whose
+fingerprint changed, which is how INCREMENTAL INGEST works: new pages
+re-open exactly the buckets they hash into, dynamic partition overwrite
+replaces those buckets' docs/linked rows, the S3 delta pass assigns
+canonical ids to newly seen entities (append-only, stability contract), and
+S4's set-merge inserts only genuinely new triples. A crash between write
+and manifest append cannot duplicate anything.
 
 S3 is deliberately a single global unit (partition_key="global"): connected
 components is a cross-bucket fixpoint, so its resume granularity is the
@@ -60,13 +65,27 @@ def _bucketed(df: DataFrame, key: str, n: int) -> DataFrame:
 
 
 def _pending(
-    spark: SparkSession, man_path: str, stage: str, df: DataFrame
-) -> tuple[DataFrame, list[int]]:
-    """Filter df to buckets not yet done for ``stage``; one broadcast semi-join."""
-    keys = df.select(F.col("url_bucket").cast("string").alias("partition_key")).distinct()
+    spark: SparkSession, man_path: str, stage: str, df: DataFrame, fp_col: str = "url"
+) -> tuple[DataFrame, list[int], dict[str, str]]:
+    """Filter df to buckets pending for ``stage``: never completed, OR
+    completed against a DIFFERENT input fingerprint (incremental ingest —
+    new/changed rows re-open exactly their buckets; S1/S2's dynamic
+    partition overwrite and S4's set-merge make the re-run replace, never
+    duplicate). The fingerprint is an order/partitioning-independent digest
+    of the bucket's key column: ``count:bit_xor(xxhash64(key))`` (xor, not
+    sum — a 64-bit sum overflows under ANSI mode; keys are distinct per
+    bucket so xor cancellation needs a hash collision, and the count guards
+    multiplicity regardless).
+
+    Returns (pending rows, pending bucket ids, fingerprint per bucket)."""
+    keys = df.groupBy(F.col("url_bucket").cast("string").alias("partition_key")).agg(
+        F.concat_ws(":", F.count("*"), F.expr(f"bit_xor(xxhash64({fp_col}))")).alias("fp")
+    )
     pend = manifest.pending_keys(spark, man_path, stage, keys)
-    pend_list = [int(r.partition_key) for r in pend.collect()]  # bucket ids: small by design
-    return df.where(F.col("url_bucket").isin(pend_list)), pend_list
+    rows = pend.collect()  # bucket ids: small by design
+    pend_list = [int(r.partition_key) for r in rows]
+    fps = {r.partition_key: r.fp for r in rows}
+    return df.where(F.col("url_bucket").isin(pend_list)), pend_list, fps
 
 
 def _read_buckets(spark: SparkSession, path: str, buckets: list[int]) -> DataFrame:
@@ -90,6 +109,7 @@ def _record(
     out_counts: dict[str, int],
     wall_ms: int,
     buckets: list[str],
+    fps: dict[str, str] | None = None,
 ) -> None:
     n = max(1, len(buckets))
     manifest.append_manifest(
@@ -99,6 +119,7 @@ def _record(
             {
                 "stage": stage,
                 "partition_key": b,
+                "input_fingerprint": (fps or {}).get(b),
                 "rows_in": in_counts.get(b, 0),
                 "rows_out": out_counts.get(b, 0),
                 "wall_ms": wall_ms // n,  # amortized: one job covered all buckets
@@ -151,7 +172,7 @@ def run_web_pipeline(
     if S1 in stages:
         t0 = time.monotonic()
         src = _bucketed(pages, "url", n_url_buckets)
-        todo, pend = _pending(spark, man, S1, src)
+        todo, pend, fps = _pending(spark, man, S1, src, fp_col="url")
         if pend:
             in_counts = _bucket_counts(todo)
             docs = todo.select(
@@ -170,7 +191,7 @@ def run_web_pipeline(
             out_counts = _bucket_counts(_read_buckets(spark, docs_path, pend))
             _record(
                 spark, man, S1, in_counts, out_counts,
-                int((time.monotonic() - t0) * 1000), list(in_counts),
+                int((time.monotonic() - t0) * 1000), list(in_counts), fps,
             )
         stats[S1] = {"pending_buckets": len(pend), "wall_s": round(time.monotonic() - t0, 3)}
 
@@ -178,7 +199,7 @@ def run_web_pipeline(
     if S2 in stages:
         t0 = time.monotonic()
         docs = spark.read.parquet(docs_path)
-        todo, pend = _pending(spark, man, S2, docs)
+        todo, pend, fps = _pending(spark, man, S2, docs, fp_col="doc_id")
         if pend:
             in_counts = _bucket_counts(todo)
             # n_docs from the lineage counts just taken — saves tfidf_weights
@@ -195,24 +216,46 @@ def run_web_pipeline(
             out_counts = _bucket_counts(_read_buckets(spark, linked_path, pend))
             _record(
                 spark, man, S2, in_counts, out_counts,
-                int((time.monotonic() - t0) * 1000), list(in_counts),
+                int((time.monotonic() - t0) * 1000), list(in_counts), fps,
             )
         stats[S2] = {"pending_buckets": len(pend), "wall_s": round(time.monotonic() - t0, 3)}
 
     # ---- S3 CANONICALIZE: linked surface forms → entity_map ----
+    # First run: full batch canonicalization (run-once via manifest key
+    # 'global'). Every run after that: an INCREMENTAL delta pass — entities
+    # newly linked since the map was built (new ingest buckets) are matched
+    # against the existing corpus with one cross-set LSH join and appended
+    # to the map under the stability contract (existing assignments never
+    # rewritten; see operators/canonicalize.py::canonicalize_entities_
+    # incremental). Without this pass, S4's emap join silently dropped the
+    # mentions of any entity first seen after the initial S3 run.
     if S3 in stages:
         t0 = time.monotonic()
         done = manifest.run_stage(
             spark, man, S3, "global",
             lambda: _run_canonicalize(spark, linked_path, entity_map_path),
         )
-        stats[S3] = {"ran": done is not None, "wall_s": round(time.monotonic() - t0, 3)}
+        n_delta = 0
+        if done is None:  # map already exists → catch up on the delta
+            n_delta = _run_canonicalize_delta(spark, linked_path, entity_map_path)
+            if n_delta:
+                manifest.append_manifest(
+                    spark, man,
+                    [{"stage": S3, "partition_key": f"delta:{n_delta}",
+                      "rows_in": n_delta, "rows_out": n_delta,
+                      "wall_ms": int((time.monotonic() - t0) * 1000)}],
+                )
+        stats[S3] = {
+            "ran": done is not None,
+            "delta_entities": n_delta,
+            "wall_s": round(time.monotonic() - t0, 3),
+        }
 
     # ---- S4 MATERIALIZE: triples w/ canonical IRIs → merge into store ----
     if S4 in stages:
         t0 = time.monotonic()
         docs = spark.read.parquet(docs_path)
-        todo, pend = _pending(spark, man, S4, docs)
+        todo, pend, fps = _pending(spark, man, S4, docs, fp_col="doc_id")
         n_pend = len(pend)
         if n_pend:
             in_counts = _bucket_counts(todo)
@@ -248,7 +291,7 @@ def run_web_pipeline(
             shutil.rmtree(staging, ignore_errors=True)
             _record(
                 spark, man, S4, in_counts, out_counts,
-                int((time.monotonic() - t0) * 1000), list(in_counts),
+                int((time.monotonic() - t0) * 1000), list(in_counts), fps,
             )
             stats[S4] = {
                 "pending_buckets": n_pend,
@@ -272,6 +315,42 @@ def _run_canonicalize(spark: SparkSession, linked_path: str, entity_map_path: st
     emap = canonicalize_entities(ents, id_col="entity_id", name_col="name")
     emap.write.mode("overwrite").parquet(entity_map_path)
     return n_in, spark.read.parquet(entity_map_path).count()
+
+
+def _run_canonicalize_delta(spark: SparkSession, linked_path: str, entity_map_path: str) -> int:
+    """Incremental S3: assign canonical ids to entities linked since the map
+    was built; append-only (idempotent — the delta is an anti-join against
+    the map, so a re-run after a crash mid-append just shrinks to the
+    remainder). Returns the number of newly mapped entities."""
+    from extremexp_knowledge_graph_spark.operators.canonicalize import (
+        canonicalize_entities_incremental,
+    )
+
+    ents = (
+        spark.read.parquet(linked_path)
+        .select(F.col("entity_id"), F.col("entity_id").alias("name"))
+        .distinct()
+    )
+    emap = spark.read.parquet(entity_map_path)
+    new_e = ents.join(emap.select("entity_id"), "entity_id", "left_anti")
+    # Stage the delta once (it feeds LSH twice + the final assign); disk
+    # staging, same rationale as the S4 batch (kg_store.py merge staging).
+    import shutil
+
+    staging = entity_map_path.rstrip("/") + ".delta_staging"
+    new_e.write.mode("overwrite").parquet(staging)
+    new_e = spark.read.parquet(staging)
+    try:
+        if new_e.limit(1).count() == 0:
+            return 0
+        old_e = ents.join(emap.select("entity_id"), "entity_id", "left_semi")
+        delta = canonicalize_entities_incremental(
+            new_e, old_e, emap, id_col="entity_id", name_col="name"
+        )
+        delta.write.mode("append").parquet(entity_map_path)
+        return spark.read.parquet(staging).count()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _materialize_triples(docs: DataFrame, linked: DataFrame, emap: DataFrame) -> DataFrame:

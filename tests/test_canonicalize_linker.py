@@ -70,6 +70,56 @@ def test_canonicalize_entities(spark):
     assert len(got) == 5              # every entity gets a canonical id
 
 
+def test_canonicalize_entities_incremental(spark):
+    """Incremental-ER contract (operators/canonicalize.py::
+    canonicalize_entities_incremental): adoption of existing canonicals,
+    within-batch transitivity reaching an adopted canonical, novel
+    components keeping min new id, and singleton fall-through."""
+    from extremexp_knowledge_graph_spark.operators.canonicalize import (
+        canonicalize_entities_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [
+            Row(entity_id="e1", name="image classification"),
+            Row(entity_id="e2", name="Image Classification"),
+            Row(entity_id="e9", name="machine translation"),
+        ]
+    )
+    emap = spark.createDataFrame(
+        [
+            Row(entity_id="e1", canonical_id="e1"),
+            Row(entity_id="e2", canonical_id="e1"),
+            Row(entity_id="e9", canonical_id="e9"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            # near 'image classification' → adopts e1
+            Row(entity_id="n1", name="image classification tasks"),
+            # J=2/3 with n1 but only 1/3 with old e1 (< threshold) →
+            # adoption must arrive TRANSITIVELY through n1's component
+            Row(entity_id="n2", name="image classification tasks new"),
+            # novel pair → component canonical = min(n3, n4) = n3
+            Row(entity_id="n3", name="graph attention networks"),
+            Row(entity_id="n4", name="Graph Attention Networks v2"),
+            # novel singleton → itself
+            Row(entity_id="n5", name="reinforcement learning"),
+        ]
+    )
+    got = {
+        r.entity_id: r.canonical_id
+        for r in canonicalize_entities_incremental(
+            new, old, emap, shingle_n=2, threshold=0.4
+        ).collect()
+    }
+    assert set(got) == {"n1", "n2", "n3", "n4", "n5"}  # delta only, old untouched
+    assert got["n1"] == "e1"
+    assert got["n2"] == "e1", got  # transitive through n1
+    assert got["n3"] == "n3" and got["n4"] == "n3"
+    assert got["n5"] == "n5"
+
+
 def test_tfidf_weights_l2_normalized(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=1, text="spark spark hash"), Row(doc_id=2, text="hash join")]

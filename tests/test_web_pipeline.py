@@ -76,6 +76,68 @@ def test_pipeline_resume_after_partial_run(spark, tmp_path_factory, pages):
     assert _store_key_set(spark, part) == _store_key_set(spark, full)
 
 
+def test_pipeline_incremental_ingest(spark, tmp_path_factory):
+    """Incremental ingest end-to-end: run on 60 pages, then re-run with a
+    90-page superset (same seed → first 60 byte-identical). The 30 new pages
+    must re-open exactly the buckets they hash into (input-fingerprint
+    pending), flow through S1/S2, get their new entities canonicalized by
+    the S3 delta pass, and land in the store — with zero duplicate triples
+    and no stale-entity drops (every linked entity resolvable in the map)."""
+    out = str(tmp_path_factory.mktemp("wp_incr"))
+    wp.run_web_pipeline(spark, generate_pages(spark, 60), out)
+    keys_before = _store_key_set(spark, out)
+    docs_before = spark.read.parquet(f"{out}/docs").count()
+    assert docs_before == 60
+
+    stats = wp.run_web_pipeline(spark, generate_pages(spark, 90), out)
+    # the delta re-opened some (not necessarily all) buckets and ran
+    assert 0 < stats["s1_extract"]["pending_buckets"] <= wp.DEFAULT_URL_BUCKETS
+    assert stats["s4_materialize"]["new_triples"] > 0
+    assert spark.read.parquet(f"{out}/docs").count() == 90
+    # store strictly grew, previous triples intact, exact-set (no dupes)
+    keys_after = _store_key_set(spark, out)
+    assert keys_before < keys_after
+    t = spark.read.parquet(f"{out}/triples")
+    assert t.count() == t.select("subj", "pred", "obj", "obj_is_iri", "obj_datatype").distinct().count()
+    # S3 delta: no linked entity is missing from the entity map (the gap
+    # that used to silently drop new entities' mentions in S4)
+    linked = spark.read.parquet(f"{out}/linked").select("entity_id").distinct()
+    emap = spark.read.parquet(f"{out}/entity_map").select("entity_id")
+    assert linked.join(emap, "entity_id", "left_anti").count() == 0
+    # third run with identical input: full no-op
+    stats3 = wp.run_web_pipeline(spark, generate_pages(spark, 90), out)
+    assert stats3["s1_extract"]["pending_buckets"] == 0
+    assert stats3["s4_materialize"]["new_triples"] == 0
+    assert stats3["s3_canonicalize"]["delta_entities"] == 0
+    assert _store_key_set(spark, out) == keys_after
+
+
+def test_s3_delta_adopts_and_assigns(spark, tmp_path):
+    """The S3 incremental pass directly: entities that appeared in linked
+    after the map was built get mapped — near-equals ADOPT the existing
+    canonical (stability: old rows untouched), novels keep themselves —
+    and the pass is idempotent (append-only via anti-join)."""
+    linked_path, emap_path = str(tmp_path / "linked"), str(tmp_path / "emap")
+    spark.createDataFrame(
+        [("image classification",), ("Image Classification",), ("machine translation",),
+         ("IMAGE classification",), ("quantum entanglement",)],
+        ["entity_id"],
+    ).write.parquet(linked_path)
+    spark.createDataFrame(
+        [("image classification", "image classification"),
+         ("Image Classification", "image classification"),
+         ("machine translation", "machine translation")],
+        ["entity_id", "canonical_id"],
+    ).write.parquet(emap_path)
+    assert wp._run_canonicalize_delta(spark, linked_path, emap_path) == 2
+    m = {r.entity_id: r.canonical_id for r in spark.read.parquet(emap_path).collect()}
+    assert m["IMAGE classification"] == "image classification"   # adopted
+    assert m["quantum entanglement"] == "quantum entanglement"   # novel
+    assert m["image classification"] == "image classification"   # old rows intact
+    assert len(m) == 5
+    assert wp._run_canonicalize_delta(spark, linked_path, emap_path) == 0  # idempotent
+
+
 def test_s1_rerun_after_lost_manifest_does_not_duplicate(spark, tmp_path_factory, pages):
     """Crash between the S1 parquet write and the manifest record: the
     resume re-runs the same buckets; dynamic partition overwrite must
