@@ -522,6 +522,30 @@ def _q_kg_canonicalize(spark, sf_dir):
     return canonicalize_entities(ents, threshold=0.5, num_hashes=8, bands=4, shingle_n=3)
 
 
+def _q_kg_canonicalize_incr(spark, sf_dir):
+    """E1 incremental mode (operators/canonicalize.py::
+    canonicalize_entities_incremental): even-doc_id entities are the already-
+    canonicalized history (full batch fit), odd-doc_id entities arrive as the
+    new ingest batch. Adoption via ONE cross-set LSH band join (the history
+    never self-joins), within-batch transitivity via CC, stability contract.
+    The oracle replays blocking + Jaccard + both closures + the adoption
+    resolution in recursive SQL."""
+    from extremexp_knowledge_graph_spark.operators.canonicalize import (
+        canonicalize_entities,
+        canonicalize_entities_incremental,
+    )
+
+    ents = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("entity_id"), F.col("text").alias("name")
+    )
+    old = ents.where(F.col("entity_id") % 2 == 0)
+    new = ents.where(F.col("entity_id") % 2 == 1)
+    emap_old = canonicalize_entities(old, threshold=0.5, num_hashes=8, bands=4, shingle_n=3)
+    return canonicalize_entities_incremental(
+        new, old, emap_old, threshold=0.5, num_hashes=8, bands=4, shingle_n=3
+    )
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact all-pairs recall baseline
     (explicit n_planes=0 opt-in; the operator DEFAULT is LSH-blocked)."""
@@ -698,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "kg_canonicalize": _q_kg_canonicalize,
+        "kg_canonicalize_incr": _q_kg_canonicalize_incr,
         "ann_topk": _q_ann_topk,
         "ann_threshold": _q_ann_threshold,
         "ann_lsh": _q_ann_lsh,
@@ -1395,6 +1420,87 @@ comp as (
 select d.doc_id as entity_id, coalesce(c.canonical_id, d.doc_id) as canonical_id
 from documents d left join comp c on c.entity_id = d.doc_id
 """
+
+# Incremental canonicalization in pure SQL: the same LSH blocking + Jaccard
+# pairs as kg_canonicalize, partitioned by id parity into old-old (history
+# closure → emap_old), new-old (adoption edges), and new-new (batch closure);
+# resolution = per-new-component min adopted canonical, else component min —
+# replaying canonicalize_entities_incremental's contract exactly.
+def _incr_canon_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(f"min(md5('{j}|' || shingle)) as h{j}" for j in range(num_hashes))
+    band_exprs = ", ".join(
+        "(" + " || ".join(f"h{b * r + i}" for i in range(r)) + f") as band_{b}" for b in range(bands)
+    )
+    band_union = " union all ".join(
+        f"select id, {b} as band, band_{b} as band_sig from sigs" for b in range(bands)
+    )
+    return rf"""
+with recursive {_SHINGLES_CTE},
+sigs0 as (select id, {mins} from sh group by id),
+sigs as (select id, {band_exprs} from sigs0),
+band_rows as ({band_union}),
+sizes as (select id, count(*)::bigint as sz from sh group by id),
+cand_all as (
+  select distinct a.id as id_a, b.id as id_b
+  from band_rows a join band_rows b on a.band = b.band and a.band_sig = b.band_sig
+  where a.id <> b.id
+),
+jac as (
+  select c.id_a, c.id_b
+  from (select c.id_a, c.id_b, count(*)::bigint as i
+        from cand_all c
+        join sh sa on sa.id = c.id_a
+        join sh sb on sb.id = c.id_b and sb.shingle = sa.shingle
+        group by c.id_a, c.id_b) c
+  join sizes za on za.id = c.id_a
+  join sizes zb on zb.id = c.id_b
+  where c.i / (za.sz + zb.sz - c.i)::double >= {threshold}
+),
+old_pairs as (select id_a, id_b from jac where id_a % 2 = 0 and id_b % 2 = 0 and id_a < id_b),
+adopt_pairs as (select id_a, id_b from jac where id_a % 2 = 1 and id_b % 2 = 0),
+new_pairs as (select id_a, id_b from jac where id_a % 2 = 1 and id_b % 2 = 1 and id_a < id_b),
+sym_old as (select id_a as a, id_b as b from old_pairs union select id_b, id_a from old_pairs),
+reach_old(a, b) as (
+  select a, b from sym_old
+  union
+  select r.a, s.b from reach_old r join sym_old s on r.b = s.a
+),
+comp_old as (select a as entity_id, least(a, min(b)) as canonical_id from reach_old group by a),
+emap_old as (
+  select d.doc_id as entity_id, coalesce(c.canonical_id, d.doc_id) as canonical_id
+  from documents d left join comp_old c on c.entity_id = d.doc_id
+  where d.doc_id % 2 = 0
+),
+sym_new as (select id_a as a, id_b as b from new_pairs union select id_b, id_a from new_pairs),
+reach_new(a, b) as (
+  select a, b from sym_new
+  union
+  select r.a, s.b from reach_new r join sym_new s on r.b = s.a
+),
+comp_new as (select a as entity_id, least(a, min(b)) as comp from reach_new group by a),
+base as (
+  select d.doc_id as entity_id, coalesce(c.comp, d.doc_id) as comp
+  from documents d left join comp_new c on c.entity_id = d.doc_id
+  where d.doc_id % 2 = 1
+),
+direct as (
+  select p.id_a as entity_id, min(m.canonical_id) as adopt_c
+  from adopt_pairs p join emap_old m on m.entity_id = p.id_b
+  group by p.id_a
+),
+comp_adopt as (
+  select b.comp, min(d.adopt_c) as comp_c
+  from base b left join direct d on d.entity_id = b.entity_id
+  group by b.comp
+)
+select b.entity_id, coalesce(ca.comp_c, b.comp) as canonical_id
+from base b left join comp_adopt ca on ca.comp = b.comp
+"""
+
+
+ORACLE["kg_canonicalize_incr"] = _incr_canon_oracle(8, 4, 0.5)
+
 
 # SimHash in pure SQL: md5-hex → uint64 via arithmetic hex parse (list_reduce
 # keeps uhugeint — list_sum/sum would round through DOUBLE and corrupt low
