@@ -320,7 +320,11 @@ def _q_kg_entity_view_sets(spark, sf_dir):
         P_MENTIONS_TASK,
     )
 
-    t = papers_to_triples(_mint_papers(_docs(spark, sf_dir)))
+    # Stage the triples once: the production shape is entity_view over the
+    # MATERIALIZED store (one scan); without staging, the view's members/
+    # pivot branches would each re-derive the whole mapper subtree (35
+    # parquet scans observed vs 2 staged).
+    t = papers_to_triples(_mint_papers(_docs(spark, sf_dir))).localCheckpoint()
     v = entity_view_sets(
         t,
         CLS_PAPER,
