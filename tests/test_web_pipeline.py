@@ -112,6 +112,38 @@ def test_pipeline_incremental_ingest(spark, tmp_path_factory):
     assert _store_key_set(spark, out) == keys_after
 
 
+def test_streaming_pages_matches_batch(spark, tmp_path):
+    """Streaming front-door (streaming/web_ingest.py): two page-dump drops
+    drained by two availableNow runs must produce byte-for-byte the same
+    store as one batch run over the full corpus — the equivalence that makes
+    the streaming layer pure accumulation + triggering."""
+    from extremexp_knowledge_graph_spark.streaming.web_ingest import stream_pages_pipeline
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # drop 1: pages 0-39; drop arrives as one parquet file
+    generate_pages(spark, 40).coalesce(1).write.mode("overwrite").parquet(str(inp / "d1"))
+    q = stream_pages_pipeline(spark, str(inp / "d1"), out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/docs").count() == 40
+
+    # drop 2: pages 0-69 (overlapping redelivery of 0-39 + 30 new) — the
+    # url anti-join must keep the cumulative table exactly-once
+    generate_pages(spark, 70).coalesce(1).write.mode("overwrite").parquet(str(inp / "d1"))
+    q2 = stream_pages_pipeline(spark, str(inp / "d1"), out, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/pages").count() == 70
+    assert spark.read.parquet(f"{out}/docs").count() == 70
+
+    # equivalence with one-shot batch ingestion of the same 70 pages
+    batch_out = str(tmp_path / "batch_out")
+    wp.run_web_pipeline(spark, generate_pages(spark, 70), batch_out)
+    assert _store_key_set(spark, out) == _store_key_set(spark, batch_out)
+
+
 def test_s3_delta_adopts_and_assigns(spark, tmp_path):
     """The S3 incremental pass directly: entities that appeared in linked
     after the map was built get mapped — near-equals ADOPT the existing
