@@ -550,6 +550,34 @@ def _q_kg_canonicalize_incr(spark, sf_dir):
     )
 
 
+def _q_dedup_paragraph(spark, sf_dir):
+    """CCNet-style paragraph-level dedup (operators/dedup.py::
+    paragraph_dedup): paragraphs whose whitespace-normalized fingerprint
+    occurs in >1 document are scrubbed from every document; survivors
+    reassemble in order — the boilerplate scrub document-level dedup can't
+    do. The documents table is single-line, so paragraph structure is
+    minted deterministically: a newsletter banner shared by ALL docs
+    (dropped everywhere), the doc's own body (unique, kept), and a footer
+    shared by even doc_ids (dropped) vs a per-doc colophon on odd ones
+    (kept)."""
+    from extremexp_knowledge_graph_spark.operators.dedup import paragraph_dedup
+
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("subscribe now daily newsletter"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("copyright footer all rights reserved"),
+            ).otherwise(F.concat(F.lit("colophon of document "), F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    return paragraph_dedup(aug, max_para_df=1)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact all-pairs recall baseline
     (explicit n_planes=0 opt-in; the operator DEFAULT is LSH-blocked)."""
@@ -723,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_paragraph": _q_dedup_paragraph,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "kg_canonicalize": _q_kg_canonicalize,
@@ -1424,6 +1453,37 @@ comp as (
 select d.doc_id as entity_id, coalesce(c.canonical_id, d.doc_id) as canonical_id
 from documents d left join comp c on c.entity_id = d.doc_id
 """
+
+# Paragraph-level dedup in SQL: same fingerprint (md5 of \s+-normalized
+# paragraph), document-frequency gate, order-preserving reassembly.
+ORACLE["dedup_paragraph"] = r"""
+with aug as (
+  select doc_id,
+         'subscribe now daily newsletter' || chr(10) || text || chr(10) ||
+         case when doc_id % 2 = 0 then 'copyright footer all rights reserved'
+              else 'colophon of document ' || doc_id end as text
+  from documents
+),
+paras as (
+  select id, pos, para, md5(regexp_replace(para, '\s+', ' ', 'g')) as fp from (
+    select doc_id as id,
+           unnest(string_split(text, chr(10))) as para,
+           generate_subscripts(string_split(text, chr(10)), 1) as pos
+    from aug)
+  where trim(para) <> ''
+),
+dfreq as (select fp, count(distinct id) as pdf from paras group by fp),
+k as (select p.*, d.pdf <= 1 as keep from paras p join dfreq d using (fp)),
+agg as (
+  select id,
+    string_agg(para, chr(10) order by pos) filter (keep) as text,
+    (count(*) filter (keep))::bigint as n_kept,
+    (count(*) filter (not keep))::bigint as n_dropped
+  from k group by id
+)
+select id as doc_id, text, n_kept, n_dropped from agg where n_kept > 0
+"""
+
 
 # Incremental canonicalization in pure SQL: the same LSH blocking + Jaccard
 # pairs as kg_canonicalize, partitioned by id parity into old-old (history

@@ -61,6 +61,49 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.join(w, df[id_col] == w.keeper_id, "left_semi")
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_para_df: int = 1,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: drop every paragraph whose
+    (whitespace-normalized) fingerprint appears in more than ``max_para_df``
+    documents — the standard boilerplate/chrome scrub for web corpora, where
+    near-identical docs share navigation/footer paragraphs that document-
+    level dedup can't touch. Returns (id_col, text, n_kept, n_dropped) with
+    the surviving paragraphs reassembled in original order; documents whose
+    every paragraph was boilerplate disappear (CCNet drops empty shards).
+
+    Scale shape: one fingerprint-keyed shuffle for the document-frequency
+    count (map-side partial agg) + one id-keyed shuffle to reassemble; the
+    fingerprint join is a hot-key risk ONLY for the boilerplate paragraphs
+    themselves, whose groups carry one count row each — no row blowup.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    ).where(F.trim("para") != "")
+    paras = paras.withColumn("fp", content_fingerprint(F.col("para")))
+    dfreq = paras.groupBy("fp").agg(F.countDistinct("id").alias("pdf"))
+    k = paras.join(dfreq, "fp").withColumn("keep", F.col("pdf") <= max_para_df)
+    agg = k.groupBy("id").agg(
+        # when() yields NULL for dropped rows and collect_list skips NULLs,
+        # so one aggregation carries both the kept set and the counts
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.struct("pos", "para")))
+        ).alias("ps"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+    return agg.where(F.col("n_kept") > 0).select(
+        F.col("id").alias(id_col),
+        F.concat_ws("\n", F.transform("ps", lambda s: s["para"])).alias("text"),
+        "n_kept",
+        "n_dropped",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingles + Jaccard
 # ---------------------------------------------------------------------------

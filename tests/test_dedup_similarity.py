@@ -45,6 +45,31 @@ def py_shingles(text, n=3):
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+def test_paragraph_dedup(spark):
+    """CCNet-style paragraph scrub: shared paragraphs vanish from every doc,
+    unique ones survive in order, within-doc repeats of a unique paragraph
+    survive (the gate is cross-DOCUMENT frequency), whitespace variants of
+    the same paragraph share a fingerprint, and all-boilerplate docs drop."""
+    from pyspark.sql import Row
+
+    from extremexp_knowledge_graph_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="SHARED banner\nalpha body one\nalpha body two"),
+            Row(doc_id=2, text="SHARED  banner\nbeta body\nbeta body"),  # ws variant + in-doc repeat
+            Row(doc_id=3, text="SHARED banner"),  # nothing survives
+        ]
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(docs, max_para_df=1).collect()}
+    assert set(got) == {1, 2}  # doc 3 was pure boilerplate
+    assert got[1].text == "alpha body one\nalpha body two"
+    assert got[1].n_kept == 2 and got[1].n_dropped == 1
+    # in-doc repeat kept twice: 'beta body' occurs in ONE doc only
+    assert got[2].text == "beta body\nbeta body"
+    assert got[2].n_kept == 2 and got[2].n_dropped == 1
+
+
 def test_exact_dedup(spark):
     df = _docs_df(spark)
     groups = {r.fingerprint: (r.n_copies, r.keeper_id) for r in exact_dup_groups(df).collect()}
