@@ -70,6 +70,54 @@ def test_paragraph_dedup(spark):
     assert got[2].n_kept == 2 and got[2].n_dropped == 1
 
 
+def test_paragraph_dedup_idempotent(spark):
+    """After one scrub every surviving paragraph is unique across docs, so a
+    second pass is the identity — the fixpoint property that makes the op
+    safe to re-run in resumed pipelines."""
+    from pyspark.sql import Row
+
+    from extremexp_knowledge_graph_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"SHARED banner\nbody {i} alpha\nbody {i} beta") for i in range(6)]
+    )
+    once = paragraph_dedup(docs, max_para_df=1)
+    twice = paragraph_dedup(once.select("doc_id", "text"), max_para_df=1)
+    a = {(r.doc_id, r.text) for r in once.collect()}
+    b = {(r.doc_id, r.text) for r in twice.collect()}
+    assert a == b and all("SHARED" not in t for _, t in a)
+
+
+def test_minhash_pairs_between_self_matches_dedup_pairs(spark):
+    """Cross-set blocking fed the same frame on both sides must agree with
+    the self-join path (restricted to id_a < id_b) — pins that the
+    incremental matcher finds exactly the pairs the batch matcher finds."""
+    from pyspark.sql import Row
+
+    from extremexp_knowledge_graph_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_pairs_between,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+            Row(doc_id=3, text="a completely different document about spark"),
+            Row(doc_id=4, text="a completely different document about spark sql"),
+            Row(doc_id=5, text="unrelated text with no twin at all here"),
+        ]
+    )
+    kw = dict(threshold=0.3, num_hashes=8, bands=4, n=2)
+    self_pairs = {(r.id_a, r.id_b, r.jaccard) for r in minhash_dedup_pairs(docs, **kw).collect()}
+    cross = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_pairs_between(docs, docs, **kw).collect()
+        if r.id_a < r.id_b
+    }
+    assert self_pairs == cross and len(self_pairs) >= 2
+
+
 def test_exact_dedup(spark):
     df = _docs_df(spark)
     groups = {r.fingerprint: (r.n_copies, r.keeper_id) for r in exact_dup_groups(df).collect()}
