@@ -132,6 +132,7 @@ def canonicalize_entities_incremental(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 2,
+    existing_band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Canonicalize a NEW batch against an already-canonicalized corpus:
     (entity_id, canonical_id) for the new entities only.
@@ -159,7 +160,12 @@ def canonicalize_entities_incremental(
     Scale shape: the only work touching the history is ONE cross-set
     band-bucket join (``minhash_pairs_between`` — the history never
     self-joins) plus one broadcast-size join from matches to their map rows;
-    everything else is O(batch).
+    everything else is O(batch). Pass ``existing_band_rows`` — the persisted
+    ``(id, band, band_sig)`` signature table (``dedup.minhash_band_rows``,
+    maintained append-only by the ingest pipeline) — and the history is
+    never re-shingled or re-min-hashed either: its cost drops to one
+    columnar signature scan + a semi-join-pruned read of the candidate
+    entities' names for Jaccard verification.
     """
     new_e = new_entities.select(F.col(id_col).alias("entity_id"), F.col(name_col).alias("name"))
     old_e = existing_entities.select(F.col(id_col).alias("entity_id"), F.col(name_col).alias("name"))
@@ -168,6 +174,7 @@ def canonicalize_entities_incremental(
     adopt_edges = minhash_pairs_between(
         new_e, old_e, threshold=threshold, num_hashes=num_hashes,
         bands=bands, n=shingle_n, id_col="entity_id", text_col="name",
+        right_band_rows=existing_band_rows,
     )
     direct = (
         adopt_edges.join(

@@ -229,6 +229,24 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Public form of the banded-signature relation ``(id, band, band_sig)``.
+
+    This is the frame an incremental deployment PERSISTS append-only next to
+    its entity map (signatures never change for an existing item), so that
+    matching each new ingest batch against the history costs a columnar scan
+    of this table instead of re-shingling + re-min-hashing the entire
+    history per batch (``minhash_pairs_between``'s ``right_band_rows``)."""
+    return _band_rows(df, num_hashes, bands, n, id_col, text_col)
+
+
 def minhash_pairs_between(
     left: DataFrame,
     right: DataFrame,
@@ -238,27 +256,48 @@ def minhash_pairs_between(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    right_band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-set LSH near-dup pairs: (id_a ∈ left, id_b ∈ right, jaccard).
 
     Candidates come only from left×right band-bucket collisions — the right
     corpus never self-joins. This is the incremental-batch shape: matching a
     small delta of N_new items against a 10^9-item history costs
-    O(N_new × bucket-collision rate), not the O(N_hist²) an all-pairs call
-    on the union would pay. Ids appearing in BOTH sets pair only with other
-    ids (a != b guard). Verified with true Jaccard like
-    ``minhash_dedup_pairs``.
+    O(N_new × bucket-collision rate) for the join, and — when the caller
+    passes ``right_band_rows``, the persisted ``(id, band, band_sig)``
+    signature table for the history (``minhash_band_rows``) — the history
+    side costs ONE columnar scan of that table: no re-shingling, no
+    re-min-hashing. Jaccard verification shingles only the rows that
+    actually appear in a candidate pair (a semi-join-pruned sliver of each
+    side), never the full history. Without ``right_band_rows`` the
+    signatures are derived from ``right`` in-plan (full right-side
+    preprocessing — the one-shot/small-history path). Ids appearing in BOTH
+    sets pair only with other ids (a != b guard). Verified with true
+    Jaccard like ``minhash_dedup_pairs``.
     """
     la = _band_rows(left, num_hashes, bands, n, id_col, text_col).alias("a")
-    rb = _band_rows(right, num_hashes, bands, n, id_col, text_col).alias("b")
+    if right_band_rows is not None:
+        rb = right_band_rows.select("id", "band", "band_sig").alias("b")
+    else:
+        rb = _band_rows(right, num_hashes, bands, n, id_col, text_col).alias("b")
     cand = (
         la.join(rb, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_sig") == F.col("b.band_sig")))
         .where(F.col("a.id") != F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh_l = shingles(left, n, id_col, text_col)
-    sh_r = shingles(right, n, id_col, text_col)
+    # Verification reads only candidate rows: semi-join each side down to
+    # the ids that collided in ≥1 band before shingling. Shingle sets (and
+    # therefore sizes + intersections) per doc are unchanged by the row
+    # restriction, so results are identical to verifying over the full sets.
+    left_c = left.join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    right_c = right.join(
+        cand.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sh_l = shingles(left_c, n, id_col, text_col)
+    sh_r = shingles(right_c, n, id_col, text_col)
     sz_l = sh_l.groupBy("id").agg(F.count("*").alias("sz_a")).withColumnRenamed("id", "id_a")
     sz_r = sh_r.groupBy("id").agg(F.count("*").alias("sz_b")).withColumnRenamed("id", "id_b")
     inter = (

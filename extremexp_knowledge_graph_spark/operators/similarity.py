@@ -173,6 +173,7 @@ def ivf_fit_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     fit_limit: int | None = None,
+    staging_path: str | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means as DataFrame aggregations (deterministic: seeded init
     from a hash-ordered sample, fixed iteration count).
@@ -190,6 +191,12 @@ def ivf_fit_centroids(
     ``md5(id || salt)`` rather than a numeric hash so an external engine
     (the DuckDB driver oracle) can reproduce the fit bit-for-bit up to
     float-summation noise.
+
+    ``staging_path``: where to materialize the fit sample. On a multi-node
+    cluster this MUST be a data-filesystem path every executor can reach
+    (same contract as ``kg_store.merge_triples``'s staging sibling); the
+    ``tempfile`` fallback is a driver-local directory and only valid in
+    local mode.
     """
     import shutil
     import tempfile
@@ -205,7 +212,7 @@ def ivf_fit_centroids(
         sample = base.orderBy(
             F.md5(F.concat(F.col("_fid").cast("string"), F.lit(f"|s{seed}")))
         ).limit(fit_limit)
-        staging = tempfile.mkdtemp(prefix="spark_ivf_fit_")
+        staging = staging_path or tempfile.mkdtemp(prefix="spark_ivf_fit_")
         sample.write.mode("overwrite").parquet(staging)
         base = corpus.sparkSession.read.schema(sample.schema).parquet(staging)
     try:
@@ -278,6 +285,7 @@ def ivf_ann_topk(
     q_vec_col: str = "q_embedding",
     fit_limit: int | None = None,
     centroids: list[list[float]] | None = None,
+    staging_path: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus vectors to their nearest of
     ``nlist`` centroids (the inverted lists), probe each query's ``nprobe``
@@ -289,7 +297,7 @@ def ivf_ann_topk(
     sample — pass ``fit_limit`` (or precomputed ``centroids``).
     """
     cents = centroids if centroids is not None else ivf_fit_centroids(
-        corpus, nlist, iters, seed, vec_col, id_col, fit_limit
+        corpus, nlist, iters, seed, vec_col, id_col, fit_limit, staging_path
     )
     c_assigned = corpus.select(
         F.col(id_col), F.col(vec_col), _nearest_centroid_col(F.col(vec_col), cents).alias("lst")

@@ -187,14 +187,22 @@ def clear(spark: SparkSession, path: str) -> None:
     ≡ ``TRUNCATE TABLE``. Sandbox form drops the table directory; Iceberg
     form is ``TRUNCATE`` with the snapshot making it reversible.
 
-    Also removes the ``.compacting``/``.old``/``.merge_staging`` siblings a
-    crash-interrupted ``compact()``/``merge_triples()`` may have left —
-    otherwise ``_recover_interrupted_compact`` would see the cleared path as
-    an interrupted swap and resurrect the truncated data."""
+    Also removes the ``.compacting``/``.old``/``.merge_staging``/
+    ``.delta_staging`` siblings a crash-interrupted ``compact()``/
+    ``merge_triples()``/S3-delta pass may have left — otherwise
+    ``_recover_interrupted_compact`` would see the cleared path as an
+    interrupted swap and resurrect the truncated data (and a cleared
+    entity-map path would keep stale delta staging around)."""
     import shutil
 
     base = path.rstrip("/")
-    for p in (base, base + ".compacting", base + ".old", base + ".merge_staging"):
+    for p in (
+        base,
+        base + ".compacting",
+        base + ".old",
+        base + ".merge_staging",
+        base + ".delta_staging",
+    ):
         shutil.rmtree(p, ignore_errors=True)
 
 

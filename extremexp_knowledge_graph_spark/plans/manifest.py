@@ -28,9 +28,15 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
 
     _recover_interrupted_compact(path)
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
     except Exception:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
+    # schema evolution: manifests written before a column existed read back
+    # with it NULL (Iceberg would give this for free via schema evolution)
+    for field in MANIFEST_SCHEMA.fields:
+        if field.name not in df.columns:
+            df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return df
 
 
 def compact_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -70,6 +76,7 @@ def append_manifest(spark: SparkSession, path: str, rows: list[dict]) -> None:
             "stage": r["stage"],
             "partition_key": r["partition_key"],
             "input_fingerprint": r.get("input_fingerprint"),
+            "output_fingerprint": r.get("output_fingerprint"),
             "rows_in": r.get("rows_in"),
             "rows_out": r.get("rows_out"),
             "wall_ms": r.get("wall_ms"),
@@ -87,17 +94,25 @@ def pending_keys(spark: SparkSession, manifest_path: str, stage: str, keys: Data
     ``keys``: column ``partition_key``, plus optionally a column ``fp`` — the
     partition's CURRENT input fingerprint. Without ``fp``, a key is pending
     iff it has no done row (pure resume). With ``fp``, a key is also pending
-    when every done row recorded a DIFFERENT fingerprint — i.e. the
-    partition's input changed since it completed, so incremental ingest
+    when its LATEST done row recorded a DIFFERENT fingerprint — i.e. the
+    partition's input changed since it last completed, so incremental ingest
     re-opens exactly the changed partitions (downstream overwrite/set-merge
-    semantics make re-running safe). A done row with a NULL recorded
-    fingerprint is treated as matching any input (legacy rows stay done).
+    semantics make re-running safe). Only the latest row counts: an input
+    that changes and then reverts (A → B → A) still re-opens, because the
+    on-disk output reflects B. A latest row with a NULL recorded fingerprint
+    is treated as matching any input (legacy rows stay done).
     """
+    from pyspark.sql.window import Window
+
     done = (
         read_manifest(spark, manifest_path)
         .where((F.col("stage") == stage) & (F.col("status") == "done"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("partition_key").orderBy(F.desc("ts"))),
+        )
+        .where(F.col("_rn") == 1)
         .select("partition_key", "input_fingerprint")
-        .distinct()
     )
     if "fp" not in keys.columns:
         return keys.join(done.select("partition_key").distinct(), "partition_key", "left_anti")
@@ -107,6 +122,76 @@ def pending_keys(spark: SparkSession, manifest_path: str, stage: str, keys: Data
         | (F.col("d.input_fingerprint") == F.col("k.fp"))
     )
     return k.join(d, cond, "left_anti")
+
+
+def stale_keys(
+    spark: SparkSession, manifest_path: str, stage: str, upstream_stage: str
+) -> list[tuple[str, str | None]]:
+    """METADATA-ONLY pending computation for a stage whose input is another
+    stage's output: partitions where ``upstream_stage``'s latest recorded
+    ``output_fingerprint`` has not been processed by ``stage``.
+
+    This is what makes a no-op resume (and every streaming trigger) cost
+    zero data scans for the downstream stages: the upstream stage computes
+    each partition's output fingerprint once AT WRITE TIME (in the same
+    read-back pass as its lineage counts), and downstream pending checks
+    compare manifest rows against manifest rows — never re-scanning the
+    data the fingerprints describe.
+
+    Returns ``[(partition_key, upstream_output_fp)]`` (driver-scale: one
+    entry per pending partition). Legacy compatibility mirrors
+    ``pending_keys``: an upstream row with NULL output fingerprint makes the
+    partition pending only if ``stage`` has never completed it; a done row
+    of ``stage`` with NULL input fingerprint matches any upstream output.
+    """
+    from pyspark.sql.window import Window
+
+    man = read_manifest(spark, manifest_path).where(F.col("status") == "done")
+    w = Window.partitionBy("partition_key").orderBy(F.desc("ts"))
+    latest_up = (
+        man.where(F.col("stage") == upstream_stage)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("partition_key", F.col("output_fingerprint").alias("up_fp"))
+    )
+    # compare against the stage's LATEST done row per key, not any done row:
+    # if a partition's input went A → B → back to A, the data on disk
+    # reflects B and the stage must re-run even though an old row matches A
+    done = (
+        man.where(F.col("stage") == stage)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("partition_key", "input_fingerprint")
+        .alias("d")
+    )
+    u = latest_up.alias("u")
+    covered = (F.col("u.partition_key") == F.col("d.partition_key")) & (
+        F.col("d.input_fingerprint").isNull()
+        | F.col("u.up_fp").isNull()
+        | (F.col("d.input_fingerprint") == F.col("u.up_fp"))
+    )
+    pend = u.join(done, covered, "left_anti").collect()
+    return [(r.partition_key, r.up_fp) for r in pend]
+
+
+def latest_outputs(spark: SparkSession, manifest_path: str, stage: str) -> dict[str, str | None]:
+    """Latest recorded ``output_fingerprint`` per partition of ``stage``
+    (driver-scale dict) — the upstream side of ``stale_keys`` exposed for
+    callers that need to seed downstream bookkeeping (e.g. marking every
+    existing partition absorbed after a global stage run)."""
+    from pyspark.sql.window import Window
+
+    man = read_manifest(spark, manifest_path).where(
+        (F.col("status") == "done") & (F.col("stage") == stage)
+    )
+    w = Window.partitionBy("partition_key").orderBy(F.desc("ts"))
+    rows = (
+        man.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("partition_key", "output_fingerprint")
+        .collect()
+    )
+    return {r.partition_key: r.output_fingerprint for r in rows}
 
 
 def run_stage(

@@ -18,31 +18,56 @@ generalized from trusted JSON metadata to raw web pages:
                   store (plans/kg_store.py)
 
 Resume contract (north rule "resumable from checkpoint with per-partition
-lineage + metrics"): work is keyed by ``url_bucket = pmod(xxhash64(url), K)``.
-Each stage processes ALL pending buckets in ONE Spark job (never a driver
-loop over buckets), then appends one manifest row per bucket with
-rows_in/rows_out/wall and the bucket's input FINGERPRINT
-(``count:bit_xor(xxhash64(key))``). A restarted run anti-joins its input against
-the manifest and recomputes only buckets that never completed — or whose
-fingerprint changed, which is how INCREMENTAL INGEST works: new pages
-re-open exactly the buckets they hash into, dynamic partition overwrite
-replaces those buckets' docs/linked rows, the S3 delta pass assigns
-canonical ids to newly seen entities (append-only, stability contract), and
-S4's set-merge inserts only genuinely new triples. A crash between write
-and manifest append cannot duplicate anything.
+lineage + metrics"): work is keyed by ``url_bucket`` — by default
+``pmod(xxhash64(url), K)``; pass ``bucket_expr`` to bucket by whatever the
+deployment's delta granularity actually is (e.g. crawl segment extracted
+from the url), so a one-segment drop re-opens exactly one bucket instead of
+sprinkling uniformly over all K. Each stage processes ALL pending buckets in
+ONE Spark job (never a driver loop over buckets), then appends one manifest
+row per bucket with rows_in/rows_out/wall plus TWO fingerprints:
 
-S3 is deliberately a single global unit (partition_key="global"): connected
-components is a cross-bucket fixpoint, so its resume granularity is the
-stage, not the bucket — re-running it is cheap relative to extraction and
-its input (distinct surface forms) is orders of magnitude smaller than the
-corpus.
+* ``input_fingerprint`` — a CONTENT digest of what the stage consumed
+  (S1: ``count:bit_xor(xxhash64(url, html))`` over the bucket's pages — a
+  re-crawled url with changed html changes the digest and re-opens the
+  bucket; identity-by-url alone would silently never re-extract updates).
+* ``output_fingerprint`` — the same-shape digest of what the stage WROTE
+  (S1: over ``(doc_id, text)``; S2: over ``(doc_id, surface, entity_id)``),
+  computed in the same read-back pass as the lineage counts — zero extra
+  scans.
+
+Downstream staleness is then METADATA-ONLY (``manifest.stale_keys``): S2/S4
+re-open exactly the buckets whose S1 output fingerprint they have not
+processed, and the S3 delta pass absorbs exactly the buckets whose S2
+output fingerprint has no ``s3_absorb`` row — comparing manifest rows
+against manifest rows, never re-scanning docs/linked. A no-op resume costs
+one scan of the (possibly bucket-restricted) pages input and nothing else;
+a delta touches only its buckets' partitions (partition-pruned reads).
+A crash between write and manifest append cannot duplicate anything
+(dynamic partition overwrite for S1/S2, set-merge for S4, anti-join
+append for S3).
+
+S3 is a single global unit on FIRST run (connected components is a
+cross-bucket fixpoint); after the map exists, per-bucket ``s3_absorb``
+rows track which linked output each delta pass has absorbed, and the
+incremental pass matches only new entities against the persisted MinHash
+signature table (``entity_sigs`` — append-only, maintained here) instead of
+re-shingling the history (operators/canonicalize.py stability contract;
+bridge-merges deferred to ``reconcile_canonicalization``).
+
+Note on supersession: a re-crawled page's updated text re-extracts,
+re-links and re-materializes (the bucket re-opens), but the triple STORE is
+a cumulative set-merge — triples extracted from the superseded content
+remain (with their prov). Store-level retraction is a delete-by-prov merge
+(Iceberg ``MERGE ... WHEN MATCHED THEN DELETE``), deliberately not wired
+into the hot path.
 """
 
 from __future__ import annotations
 
+import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from extremexp_knowledge_graph_spark.operators.canonicalize import canonicalize_entities
@@ -51,35 +76,57 @@ from extremexp_knowledge_graph_spark.operators.linker import link_mentions
 from extremexp_knowledge_graph_spark.operators.papers_to_triples import validate_triples
 from extremexp_knowledge_graph_spark.operators.pattern_extract import line_triples, svo_triples
 from extremexp_knowledge_graph_spark.plans import kg_store, manifest
-from extremexp_knowledge_graph_spark.schema import EX2, RDF_TYPE, TRIPLE_KEY
+from extremexp_knowledge_graph_spark.schema import EMAP_SCHEMA, EX2, LINKED_SCHEMA, RDF_TYPE, TRIPLE_KEY
 from extremexp_knowledge_graph_spark.sources.synthetic_pages import GAZETTEER
 
 DEFAULT_URL_BUCKETS = 16
 
 S1, S2, S3, S4 = "s1_extract", "s2_link", "s3_canonicalize", "s4_materialize"
+S3A = "s3_absorb"  # per-bucket bookkeeping of which S2 output the map absorbed
 ALL_STAGES = (S1, S2, S3, S4)
 
+# Canonicalization blocking parameters — fixed per deployment so the
+# persisted signature table (entity_sigs) stays joinable across batches.
+CANON_NUM_HASHES, CANON_BANDS, CANON_SHINGLE_N, CANON_THRESHOLD = 16, 8, 2, 0.7
 
-def _bucketed(df: DataFrame, key: str, n: int) -> DataFrame:
-    return df.withColumn("url_bucket", F.pmod(F.xxhash64(key), F.lit(n)))
+
+def _bucketed(
+    df: DataFrame, key: str, n: int, bucket_expr: Column | str | None = None
+) -> DataFrame:
+    """Attach the work-partitioning column. Default: uniform url hash.
+    ``bucket_expr`` overrides with a deployment-specific key (SQL string or
+    Column) — e.g. a crawl-segment id parsed from the url — so concentrated
+    deltas re-open few buckets (see module docstring)."""
+    if bucket_expr is None:
+        col = F.pmod(F.xxhash64(key), F.lit(n))
+    elif isinstance(bucket_expr, str):
+        col = F.expr(bucket_expr)
+    else:
+        col = bucket_expr
+    return df.withColumn("url_bucket", col)
 
 
-def _pending(
-    spark: SparkSession, man_path: str, stage: str, df: DataFrame, fp_col: str = "url"
+def _fp_expr(fp_cols: tuple[str, ...]) -> Column:
+    """Order/partitioning-independent bucket digest:
+    ``count:bit_xor(xxhash64(cols...))`` (xor, not sum — a 64-bit sum
+    overflows under ANSI mode; xor cancellation needs a hash collision and
+    the count guards multiplicity regardless)."""
+    return F.concat_ws(
+        ":", F.count("*"), F.expr(f"bit_xor(xxhash64({', '.join(fp_cols)}))")
+    )
+
+
+def _pending_input(
+    spark: SparkSession, man_path: str, stage: str, df: DataFrame, fp_cols: tuple[str, ...]
 ) -> tuple[DataFrame, list[int], dict[str, str]]:
-    """Filter df to buckets pending for ``stage``: never completed, OR
-    completed against a DIFFERENT input fingerprint (incremental ingest —
-    new/changed rows re-open exactly their buckets; S1/S2's dynamic
-    partition overwrite and S4's set-merge make the re-run replace, never
-    duplicate). The fingerprint is an order/partitioning-independent digest
-    of the bucket's key column: ``count:bit_xor(xxhash64(key))`` (xor, not
-    sum — a 64-bit sum overflows under ANSI mode; keys are distinct per
-    bucket so xor cancellation needs a hash collision, and the count guards
-    multiplicity regardless).
+    """S1's pending computation — the one stage whose input is the outside
+    world, so its fingerprints must come from the data: digest each input
+    bucket over ``fp_cols`` (CONTENT, not just identity) and keep buckets
+    whose latest done row recorded a different digest.
 
     Returns (pending rows, pending bucket ids, fingerprint per bucket)."""
     keys = df.groupBy(F.col("url_bucket").cast("string").alias("partition_key")).agg(
-        F.concat_ws(":", F.count("*"), F.expr(f"bit_xor(xxhash64({fp_col}))")).alias("fp")
+        _fp_expr(fp_cols).alias("fp")
     )
     pend = manifest.pending_keys(spark, man_path, stage, keys)
     rows = pend.collect()  # bucket ids: small by design
@@ -88,10 +135,25 @@ def _pending(
     return df.where(F.col("url_bucket").isin(pend_list)), pend_list, fps
 
 
-def _read_buckets(spark: SparkSession, path: str, buckets: list[int]) -> DataFrame:
+def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read a table that may legitimately hold ZERO rows: a zero-row
+    partitioned write leaves no parquet footer to infer a schema from, so an
+    empty/unreadable table reads as a typed empty frame (like an empty SQL
+    table, not an error) — e.g. a corpus slice with no gazetteer hits links
+    nothing, and the rest of the DAG must still run."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
+def _read_buckets(spark: SparkSession, path: str, buckets: list[int], schema=None) -> DataFrame:
     """Read only the given ``url_bucket`` partitions — the filter is a
     partition-pruning predicate, so cost is O(delta), never O(store)."""
-    return spark.read.parquet(path).where(F.col("url_bucket").isin(buckets))
+    df = spark.read.parquet(path) if schema is None else _read_or_empty(spark, path, schema)
+    return df.where(F.col("url_bucket").isin(buckets))
 
 
 def _bucket_counts(df: DataFrame, out_col: str = "rows_out") -> dict[str, int]:
@@ -99,6 +161,32 @@ def _bucket_counts(df: DataFrame, out_col: str = "rows_out") -> dict[str, int]:
         str(r.url_bucket): r.n
         for r in df.groupBy("url_bucket").agg(F.count("*").alias("n")).collect()
     }
+
+
+def _readback(
+    spark: SparkSession, path: str, buckets: list[int], fp_cols: tuple[str, ...]
+) -> tuple[dict[str, int], dict[str, str]]:
+    """One partition-pruned pass over the just-written buckets: lineage
+    counts AND output fingerprints together (this is where write-time
+    fingerprints come from — no separate scan). A stage that wrote zero
+    rows (unreadable empty table) reports empty counts/fps."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        rows = (
+            _read_buckets(spark, path, buckets)
+            .groupBy("url_bucket")
+            .agg(F.count("*").alias("n"), _fp_expr(fp_cols).alias("ofp"))
+            .collect()
+        )
+    except AnalysisException:
+        rows = []
+    counts = {str(r.url_bucket): r.n for r in rows}
+    fps = {str(r.url_bucket): r.ofp for r in rows}
+    for b in buckets:  # zero-row buckets digest to the well-defined "0:0"
+        counts.setdefault(str(b), 0)
+        fps.setdefault(str(b), "0:0")
+    return counts, fps
 
 
 def _record(
@@ -110,6 +198,7 @@ def _record(
     wall_ms: int,
     buckets: list[str],
     fps: dict[str, str] | None = None,
+    out_fps: dict[str, str] | None = None,
 ) -> None:
     n = max(1, len(buckets))
     manifest.append_manifest(
@@ -120,6 +209,7 @@ def _record(
                 "stage": stage,
                 "partition_key": b,
                 "input_fingerprint": (fps or {}).get(b),
+                "output_fingerprint": (out_fps or {}).get(b),
                 "rows_in": in_counts.get(b, 0),
                 "rows_out": out_counts.get(b, 0),
                 "wall_ms": wall_ms // n,  # amortized: one job covered all buckets
@@ -132,7 +222,9 @@ def _record(
 
 def default_aliases(spark: SparkSession, gazetteer: list[str] | None = None) -> DataFrame:
     """Alias table for S2: (alias, entity_id, prior, context). In production
-    this is the dictionary/gazetteer dimension (Wikidata labels etc.)."""
+    this is the dictionary/gazetteer dimension (Wikidata labels etc.).
+    Treated as a fixed dimension per deployment version — alias-table
+    changes are a full-reprocess event, not tracked by bucket fingerprints."""
     gaz = gazetteer or GAZETTEER
     return spark.createDataFrame(
         [(g.lower(), g, 1.0, g) for g in gaz],
@@ -147,17 +239,22 @@ def run_web_pipeline(
     aliases: DataFrame | None = None,
     n_url_buckets: int = DEFAULT_URL_BUCKETS,
     stages: tuple[str, ...] = ALL_STAGES,
+    bucket_expr: Column | str | None = None,
 ) -> dict:
     """Run (or resume) the S1-S4 DAG; returns per-stage stats.
 
     ``stages`` restricts which stages run this invocation — the test hook
     for simulating a mid-run crash (run S1-S2, "crash", re-run all four:
-    S1/S2 buckets are skipped via the manifest).
+    S1/S2 buckets are skipped via the manifest). ``pages`` may be the full
+    corpus or any bucket-complete subset of it (the streaming front-door
+    passes only the partitions its micro-batch touched — buckets absent
+    from the input are simply not considered).
     """
     man = f"{out_dir}/manifest"
     docs_path = f"{out_dir}/docs"
     linked_path = f"{out_dir}/linked"
     entity_map_path = f"{out_dir}/entity_map"
+    sigs_path = f"{out_dir}/entity_sigs"
     store_path = f"{out_dir}/triples"
     aliases = aliases if aliases is not None else default_aliases(spark)
     stats: dict[str, dict] = {}
@@ -167,14 +264,16 @@ def run_web_pipeline(
     # append: a crash between the parquet write and the manifest _record()
     # makes the resume re-run the same buckets, and overwrite-by-partition
     # replaces (never duplicates) their rows — S1/S2 are idempotent like S4's
-    # set-merge. Lineage counts read back ONLY the just-written partitions
-    # (partition pruning), so bookkeeping cost is O(delta), not O(store).
+    # set-merge. The read-back computes lineage counts AND the docs output
+    # fingerprint over ONLY the just-written partitions (partition pruning),
+    # so bookkeeping cost is O(delta), not O(store).
     if S1 in stages:
         t0 = time.monotonic()
-        src = _bucketed(pages, "url", n_url_buckets)
-        todo, pend, fps = _pending(spark, man, S1, src, fp_col="url")
+        src = _bucketed(pages, "url", n_url_buckets, bucket_expr)
+        todo, pend, fps = _pending_input(spark, man, S1, src, fp_cols=("url", "html"))
         if pend:
-            in_counts = _bucket_counts(todo)
+            # bucket row counts are the fingerprint prefix — no extra scan
+            in_counts = {k: int(v.split(":", 1)[0]) for k, v in fps.items()}
             docs = todo.select(
                 "url",
                 F.xxhash64("url").alias("doc_id"),
@@ -188,19 +287,22 @@ def run_web_pipeline(
                 .partitionBy("url_bucket")
                 .parquet(docs_path)
             )
-            out_counts = _bucket_counts(_read_buckets(spark, docs_path, pend))
+            out_counts, out_fps = _readback(spark, docs_path, pend, ("doc_id", "text"))
             _record(
                 spark, man, S1, in_counts, out_counts,
-                int((time.monotonic() - t0) * 1000), list(in_counts), fps,
+                int((time.monotonic() - t0) * 1000), list(in_counts), fps, out_fps,
             )
         stats[S1] = {"pending_buckets": len(pend), "wall_s": round(time.monotonic() - t0, 3)}
 
     # ---- S2 LINK: docs → linked(doc_id, surface, entity_id, score) ----
+    # Staleness is metadata-only: compare S1's recorded docs fingerprints
+    # against S2's processed ones — zero scans when nothing changed.
     if S2 in stages:
         t0 = time.monotonic()
-        docs = spark.read.parquet(docs_path)
-        todo, pend, fps = _pending(spark, man, S2, docs, fp_col="doc_id")
+        pend_fp = manifest.stale_keys(spark, man, S2, S1)
+        pend = [int(k) for k, _ in pend_fp]
         if pend:
+            todo = _read_buckets(spark, docs_path, pend)
             in_counts = _bucket_counts(todo)
             # n_docs from the lineage counts just taken — saves tfidf_weights
             # deriving N with its own aggregation over the tf exchange
@@ -213,37 +315,54 @@ def run_web_pipeline(
                 .partitionBy("url_bucket")
                 .parquet(linked_path)
             )
-            out_counts = _bucket_counts(_read_buckets(spark, linked_path, pend))
+            out_counts, out_fps = _readback(
+                spark, linked_path, pend, ("doc_id", "surface", "entity_id")
+            )
             _record(
                 spark, man, S2, in_counts, out_counts,
-                int((time.monotonic() - t0) * 1000), list(in_counts), fps,
+                int((time.monotonic() - t0) * 1000), list(in_counts),
+                dict(pend_fp), out_fps,
             )
         stats[S2] = {"pending_buckets": len(pend), "wall_s": round(time.monotonic() - t0, 3)}
 
     # ---- S3 CANONICALIZE: linked surface forms → entity_map ----
     # First run: full batch canonicalization (run-once via manifest key
-    # 'global'). Every run after that: an INCREMENTAL delta pass — entities
-    # newly linked since the map was built (new ingest buckets) are matched
-    # against the existing corpus with one cross-set LSH join and appended
-    # to the map under the stability contract (existing assignments never
-    # rewritten; see operators/canonicalize.py::canonicalize_entities_
-    # incremental). Without this pass, S4's emap join silently dropped the
-    # mentions of any entity first seen after the initial S3 run.
+    # 'global'), which also seeds the persisted signature table and marks
+    # every S2 bucket absorbed. Every run after that: an INCREMENTAL delta
+    # pass over exactly the buckets whose S2 output has no s3_absorb row —
+    # new entities match against the signature table (one columnar scan,
+    # no history re-shingling) and append to the map under the stability
+    # contract (existing assignments never rewritten; see
+    # operators/canonicalize.py::canonicalize_entities_incremental).
     if S3 in stages:
         t0 = time.monotonic()
         done = manifest.run_stage(
             spark, man, S3, "global",
-            lambda: _run_canonicalize(spark, linked_path, entity_map_path),
+            lambda: _run_canonicalize(spark, linked_path, entity_map_path, sigs_path),
         )
         n_delta = 0
-        if done is None:  # map already exists → catch up on the delta
-            n_delta = _run_canonicalize_delta(spark, linked_path, entity_map_path)
-            if n_delta:
+        if done is not None:
+            s2_out = manifest.latest_outputs(spark, man, S2)
+            if s2_out:
                 manifest.append_manifest(
                     spark, man,
-                    [{"stage": S3, "partition_key": f"delta:{n_delta}",
+                    [{"stage": S3A, "partition_key": k, "input_fingerprint": fp}
+                     for k, fp in s2_out.items()],
+                )
+        else:  # map already exists → absorb exactly the stale buckets
+            pend_fp = manifest.stale_keys(spark, man, S3A, S2)
+            if pend_fp:
+                n_delta = _run_canonicalize_delta(
+                    spark, linked_path, entity_map_path,
+                    buckets=[int(k) for k, _ in pend_fp], sigs_path=sigs_path,
+                )
+                wall = int((time.monotonic() - t0) * 1000)
+                manifest.append_manifest(
+                    spark, man,
+                    [{"stage": S3A, "partition_key": k, "input_fingerprint": fp,
                       "rows_in": n_delta, "rows_out": n_delta,
-                      "wall_ms": int((time.monotonic() - t0) * 1000)}],
+                      "wall_ms": wall // max(1, len(pend_fp))}
+                     for k, fp in pend_fp],
                 )
         stats[S3] = {
             "ran": done is not None,
@@ -252,17 +371,19 @@ def run_web_pipeline(
         }
 
     # ---- S4 MATERIALIZE: triples w/ canonical IRIs → merge into store ----
+    # Staleness vs S1's docs fingerprints (content-sensitive), metadata-only.
     if S4 in stages:
         t0 = time.monotonic()
-        docs = spark.read.parquet(docs_path)
-        todo, pend, fps = _pending(spark, man, S4, docs, fp_col="doc_id")
+        pend_fp = manifest.stale_keys(spark, man, S4, S1)
+        pend = [int(k) for k, _ in pend_fp]
         n_pend = len(pend)
         if n_pend:
+            todo = _read_buckets(spark, docs_path, pend)
             in_counts = _bucket_counts(todo)
-            emap = spark.read.parquet(entity_map_path)
+            emap = _read_or_empty(spark, entity_map_path, EMAP_SCHEMA)
             # bucket filter prunes the linked scan to pending partitions; the
             # semi-join stays as the row-exact guard within them
-            linked = _read_buckets(spark, linked_path, pend).join(
+            linked = _read_buckets(spark, linked_path, pend, LINKED_SCHEMA).join(
                 todo.select("doc_id").distinct(), "doc_id", "left_semi"
             )
             # Stage the materialized triples to disk, not to executor memory:
@@ -291,7 +412,7 @@ def run_web_pipeline(
             shutil.rmtree(staging, ignore_errors=True)
             _record(
                 spark, man, S4, in_counts, out_counts,
-                int((time.monotonic() - t0) * 1000), list(in_counts), fps,
+                int((time.monotonic() - t0) * 1000), list(in_counts), dict(pend_fp),
             )
             stats[S4] = {
                 "pending_buckets": n_pend,
@@ -305,32 +426,65 @@ def run_web_pipeline(
     return stats
 
 
-def _run_canonicalize(spark: SparkSession, linked_path: str, entity_map_path: str) -> tuple[int, int]:
+def _entity_band_rows(entities: DataFrame) -> DataFrame:
+    """Banded MinHash signatures for entity surface forms — the persisted
+    ``entity_sigs`` relation (id, band, band_sig), append-only (an entity's
+    signature never changes)."""
+    from extremexp_knowledge_graph_spark.operators.dedup import minhash_band_rows
+
+    return minhash_band_rows(
+        entities, CANON_NUM_HASHES, CANON_BANDS, CANON_SHINGLE_N,
+        id_col="entity_id", text_col="name",
+    )
+
+
+def _run_canonicalize(
+    spark: SparkSession, linked_path: str, entity_map_path: str, sigs_path: str | None = None
+) -> tuple[int, int]:
     ents = (
-        spark.read.parquet(linked_path)
+        _read_or_empty(spark, linked_path, LINKED_SCHEMA)
         .select(F.col("entity_id"), F.col("entity_id").alias("name"))
         .distinct()
     )
     n_in = ents.count()
-    emap = canonicalize_entities(ents, id_col="entity_id", name_col="name")
+    emap = canonicalize_entities(
+        ents, id_col="entity_id", name_col="name", threshold=CANON_THRESHOLD,
+        num_hashes=CANON_NUM_HASHES, bands=CANON_BANDS, shingle_n=CANON_SHINGLE_N,
+    )
     emap.write.mode("overwrite").parquet(entity_map_path)
+    if sigs_path:
+        _entity_band_rows(ents).write.mode("overwrite").parquet(sigs_path)
     return n_in, spark.read.parquet(entity_map_path).count()
 
 
-def _run_canonicalize_delta(spark: SparkSession, linked_path: str, entity_map_path: str) -> int:
+def _run_canonicalize_delta(
+    spark: SparkSession,
+    linked_path: str,
+    entity_map_path: str,
+    buckets: list[int] | None = None,
+    sigs_path: str | None = None,
+) -> int:
     """Incremental S3: assign canonical ids to entities linked since the map
     was built; append-only (idempotent — the delta is an anti-join against
     the map, so a re-run after a crash mid-append just shrinks to the
-    remainder). Returns the number of newly mapped entities."""
+    remainder). Returns the number of newly mapped entities.
+
+    Scale shape: ``buckets`` restricts the linked scan to the partitions
+    whose output the map has not absorbed (partition-pruned; None = full
+    scan, the manifest-less fallback). The history side is the entity map
+    itself (entity ids ARE the surface forms) plus — when ``sigs_path``
+    exists — the persisted signature table, so NOTHING corpus-sized is
+    re-read and nothing history-sized is re-shingled per batch. New
+    entities' signatures append to the table after assignment (idempotent
+    via anti-join on id, so either crash ordering heals)."""
     from extremexp_knowledge_graph_spark.operators.canonicalize import (
         canonicalize_entities_incremental,
     )
 
-    ents = (
-        spark.read.parquet(linked_path)
-        .select(F.col("entity_id"), F.col("entity_id").alias("name"))
-        .distinct()
-    )
+    linked = _read_or_empty(spark, linked_path, LINKED_SCHEMA)
+    if buckets is not None:
+        linked = linked.where(F.col("url_bucket").isin(buckets))
+    ents = linked.select(F.col("entity_id"), F.col("entity_id").alias("name")).distinct()
     emap = spark.read.parquet(entity_map_path)
     new_e = ents.join(emap.select("entity_id"), "entity_id", "left_anti")
     # Stage the delta once (it feeds LSH twice + the final assign); disk
@@ -343,10 +497,26 @@ def _run_canonicalize_delta(spark: SparkSession, linked_path: str, entity_map_pa
     try:
         if new_e.limit(1).count() == 0:
             return 0
-        old_e = ents.join(emap.select("entity_id"), "entity_id", "left_semi")
+        # history = the map itself (entity_id doubles as the surface form);
+        # no linked re-scan — verification only reads candidate rows anyway
+        old_e = emap.select("entity_id", F.col("entity_id").alias("name"))
+        sigs = None
+        if sigs_path and os.path.isdir(sigs_path):
+            sigs = spark.read.parquet(sigs_path)
         delta = canonicalize_entities_incremental(
-            new_e, old_e, emap, id_col="entity_id", name_col="name"
+            new_e, old_e, emap, id_col="entity_id", name_col="name",
+            threshold=CANON_THRESHOLD, num_hashes=CANON_NUM_HASHES,
+            bands=CANON_BANDS, shingle_n=CANON_SHINGLE_N,
+            existing_band_rows=sigs,
         )
+        if sigs_path:
+            new_rows = _entity_band_rows(new_e)
+            if os.path.isdir(sigs_path):
+                seen = spark.read.parquet(sigs_path).select("id").distinct()
+                new_rows = new_rows.join(seen, "id", "left_anti")
+                new_rows.write.mode("append").parquet(sigs_path)
+            else:
+                new_rows.write.mode("overwrite").parquet(sigs_path)
         delta.write.mode("append").parquet(entity_map_path)
         return spark.read.parquet(staging).count()
     finally:

@@ -18,6 +18,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -135,6 +136,26 @@ PAGES_SCHEMA = StructType(
     ]
 )
 
+# Derived web-pipeline relations (S2 output / S3 output) — used as typed
+# empty fallbacks when a stage legitimately produced zero rows (a zero-row
+# partitioned parquet write leaves no readable footer to infer from).
+LINKED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("surface", StringType()),
+        StructField("entity_id", StringType()),
+        StructField("score", DoubleType()),
+        StructField("url_bucket", LongType()),
+    ]
+)
+
+EMAP_SCHEMA = StructType(
+    [
+        StructField("entity_id", StringType()),
+        StructField("canonical_id", StringType()),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Output schema: the materialized triple table (FIXTURES.md §3)
 # ---------------------------------------------------------------------------
@@ -161,6 +182,7 @@ MANIFEST_SCHEMA = StructType(
         StructField("stage", StringType(), nullable=False),
         StructField("partition_key", StringType(), nullable=False),
         StructField("input_fingerprint", StringType()),
+        StructField("output_fingerprint", StringType()),
         StructField("rows_in", LongType()),
         StructField("rows_out", LongType()),
         StructField("wall_ms", LongType()),

@@ -7,18 +7,27 @@ web-scale analogue watches for page dumps (parquet drops of the
 segment) and drives the SAME S1-S4 incremental pipeline:
 
   readStream(pages dir)
-    → foreachBatch: idempotent url-keyed append into the cumulative pages
-      table (re-delivered micro-batches insert nothing — exactly-once
-      without sink transactions)
-    → run_web_pipeline over the cumulative table: the input-fingerprint
-      manifest re-opens ONLY the buckets the new pages hash into; S3's
-      delta pass assigns canonicals to newly seen entities; S4's set-merge
-      inserts only new triples.
+    → foreachBatch: idempotent url-keyed UPSERT into the cumulative pages
+      table (bucket-partitioned parquet; only the buckets the micro-batch
+      touches are rewritten) — a re-delivered micro-batch rewrites its
+      buckets to identical bytes, so every bucket fingerprint is
+      exactly-once without sink transactions, and a re-CRAWLED url (same
+      url, new html) REPLACES its row so the content change propagates
+    → run_web_pipeline over ONLY the touched bucket partitions: S1's
+      content fingerprint decides which of them actually changed; S2/S4
+      staleness and the S3 absorb pass are manifest-metadata-only
+      (plans/web_pipeline.py), so per-trigger cost is O(touched buckets),
+      never O(corpus).
 
 So the streaming layer contributes exactly-once accumulation + triggering,
 and ALL transformation semantics stay in one place — the batch DAG. Batch
 and streaming ingestion of the same pages produce identical stores
 (asserted by tests/test_web_pipeline.py::test_streaming_pages_matches_batch).
+
+Small files: each touched-bucket rewrite repartitions by bucket, so a
+bucket's partition holds ONE file regardless of how many triggers touched
+it — the pages table self-compacts and the file count is bounded by the
+bucket count (asserted by test_streaming_pages_bounded_files).
 
 ``trigger=availableNow`` drains what is present then stops (A6 backfill /
 test mode); omit for the continuous watcher (A5).
@@ -26,10 +35,12 @@ test mode); omit for the continuous watcher (A5).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from extremexp_knowledge_graph_spark.plans.web_pipeline import run_web_pipeline
+from extremexp_knowledge_graph_spark.plans.web_pipeline import _bucketed, run_web_pipeline
 from extremexp_knowledge_graph_spark.schema import PAGES_SCHEMA
 
 
@@ -41,10 +52,12 @@ def stream_pages_pipeline(
     n_url_buckets: int = 16,
     available_now: bool = True,
     max_files_per_trigger: int = 64,
+    bucket_expr=None,
 ):
     """Watch ``input_dir`` for pages parquet drops; keep ``out_dir`` (docs/
-    linked/entity_map/triples/manifest + the cumulative ``pages`` table)
-    up to date incrementally. Returns the StreamingQuery."""
+    linked/entity_map/entity_sigs/triples/manifest + the cumulative
+    bucket-partitioned ``pages`` table) up to date incrementally. Returns
+    the StreamingQuery."""
     pages_path = f"{out_dir}/pages"
     raw = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -53,22 +66,43 @@ def stream_pages_pipeline(
     )
 
     def process_batch(batch_df, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(["url"])
-        try:
-            existing = spark.read.parquet(pages_path).select("url")
-        except Exception:  # first batch: table does not exist yet
-            existing = None
-        if existing is not None:
-            # url-keyed anti-join append: a re-delivered batch (foreachBatch
-            # is at-least-once) inserts nothing, so the cumulative table —
-            # and therefore every bucket fingerprint — is exactly-once.
-            batch = batch.join(existing, "url", "left_anti")
-        batch.write.mode("append").parquet(pages_path)
+        batch = _bucketed(
+            batch_df.dropDuplicates(["url"]), "url", n_url_buckets, bucket_expr
+        )
+        touched = [r.url_bucket for r in batch.select("url_bucket").distinct().collect()]
+        if not touched:
+            return
+        # Existence must be an explicit check, not a broad except: treating
+        # a transient read failure as "first batch" would skip the upsert's
+        # old-row side and duplicate urls forever. Any real read error
+        # propagates so the micro-batch retries (foreachBatch is
+        # at-least-once; the rewrite below is idempotent).
+        if os.path.isdir(pages_path):
+            existing = spark.read.parquet(pages_path).where(
+                F.col("url_bucket").isin(touched)  # partition-pruned
+            )
+            # url-keyed upsert: batch rows win (new urls insert, re-crawled
+            # urls replace — the content change then flows through S1's
+            # content fingerprint); untouched rows of the bucket carry over.
+            merged = existing.join(
+                batch.select("url"), "url", "left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        # one task (→ one file) per bucket: the rewrite IS the compaction
+        (
+            merged.repartition(max(1, len(touched)), "url_bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("url_bucket")
+            .parquet(pages_path)
+        )
         run_web_pipeline(
             spark,
-            spark.read.parquet(pages_path),
+            spark.read.parquet(pages_path).where(F.col("url_bucket").isin(touched)),
             out_dir,
             n_url_buckets=n_url_buckets,
+            bucket_expr=bucket_expr,
         )
 
     writer = (
