@@ -105,6 +105,25 @@ def _q_kg_mentions(spark, sf_dir):
     return gazetteer_mentions(_docs(spark, sf_dir), DOC_GAZETTEER).select("subj", "pred", "obj")
 
 
+def _q_kg_linked_mentions(spark, sf_dir):
+    """The full two-stage entity linker (S2, operators/linker.py): alias
+    candidate generation over the DOC_GAZETTEER dimension, TF-IDF cosine +
+    anchor-prior scoring, argmax per mention. Each gazetteer surface also
+    has a decoy candidate (same alias, same context, lower prior) so the
+    ranking window genuinely selects. The oracle replays the whole scoring
+    relation in SQL — tf, smoothed idf, token-sorted deterministic norm and
+    cosine folds (list_reduce over list(... ORDER BY tok)), score blend,
+    QUALIFY rank — so the linker's math is hash-checked end to end."""
+    from extremexp_knowledge_graph_spark.operators.linker import link_mentions
+
+    aliases = spark.createDataFrame(
+        [(g, g, 1.0, g) for g in DOC_GAZETTEER]
+        + [(g, g + "#alt", 0.5, g) for g in DOC_GAZETTEER],
+        ["alias", "entity_id", "prior", "context"],
+    )
+    return link_mentions(_docs(spark, sf_dir), aliases, alpha=0.7)
+
+
 def _q_kg_pred_counts(spark, sf_dir):
     """E4 stats aggregate over the full constructed triple set."""
     from extremexp_knowledge_graph_spark.operators.pattern_extract import (
@@ -373,6 +392,38 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_multimodal_decode(spark, sf_dir):
+    """REAL image decode (operators/multimodal.py::decode_image): documents'
+    doc_ids mint valid PPM/BMP files (pixels = md5 stream of (seed, id)),
+    the Arrow kernel decodes them — undoing the BMP bottom-up/padding/BGR
+    layout — and the query aggregates per-channel means plus a
+    position-weighted checksum. The oracle recomputes the SAME pixels
+    arithmetically from the md5 formula (an independent derivation, not a
+    decoder replay), so a decoder that misparses headers, forgets the BGR
+    swap (channel means swap) or the row flip (checksum shifts) fails the
+    hash."""
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        decode_image,
+        images_from_ids,
+    )
+
+    media = images_from_ids(_docs(spark, sf_dir).select(F.col("doc_id").alias("id")))
+    dec = decode_image(media)
+    px = dec.select("media_id", "fmt", "w", "h", F.posexplode("pixels").alias("j", "v"))
+    npx = F.col("w") * F.col("h")
+    return px.groupBy("media_id", "fmt", "w", "h").agg(
+        F.count("*").cast("long").alias("n_px"),
+        F.round(F.sum(F.when(F.col("j") % 3 == 0, F.col("v"))).cast("double") / npx, 6).alias("mean_r"),
+        F.round(F.sum(F.when(F.col("j") % 3 == 1, F.col("v"))).cast("double") / npx, 6).alias("mean_g"),
+        F.round(F.sum(F.when(F.col("j") % 3 == 2, F.col("v"))).cast("double") / npx, 6).alias("mean_b"),
+        F.sum((F.col("j") + 1) * F.col("v").cast("long")).cast("long").alias("checksum"),
+    ).select(
+        "media_id", "fmt",
+        F.col("w").cast("int").alias("w"), F.col("h").cast("int").alias("h"),
+        "n_px", "mean_r", "mean_g", "mean_b", "checksum",
+    )
+
+
 def _q_text_stats(spark, sf_dir):
     """D-family text kernels: token/stopword/punct counts + quality score."""
     from extremexp_knowledge_graph_spark.functions import text as T
@@ -589,11 +640,20 @@ def _q_dedup_embedding(spark, sf_dir):
 def _q_dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup via the default LSH-blocked scale path (4 planes ×
     8 tables — the same recall/cost point as ann_lsh); oracled in full SQL
-    with the hyperplanes embedded as literals."""
+    with the hyperplanes embedded as literals. The exploded bucket frame is
+    parquet-staged so the Arrow kernel runs ONCE and the self-join reads
+    the staged frame twice (single-eval; staging dir reaped at exit)."""
+    import atexit
+    import shutil
+    import tempfile
+
     from extremexp_knowledge_graph_spark.operators.similarity import embedding_near_dup_pairs
 
+    staging = tempfile.mkdtemp(prefix="spark_lsh_buckets_")
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
     return embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.4, n_planes=4, n_tables=8
+        _emb(spark, sf_dir), threshold=0.4, n_planes=4, n_tables=8,
+        staging_path=staging,
     )
 
 
@@ -731,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_line_triples": _q_kg_line_triples,
         "kg_svo_triples": _q_kg_svo_triples,
         "kg_mentions": _q_kg_mentions,
+        "kg_linked_mentions": _q_kg_linked_mentions,
         "kg_pred_counts": _q_kg_pred_counts,
         "kg_doc_mention_stats": _q_kg_doc_mention_stats,
         "kg_class_counts": _q_kg_class_counts,
@@ -738,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_papers_triples": _q_kg_papers_triples,
         "kg_entity_view_sets": _q_kg_entity_view_sets,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_decode": _q_multimodal_decode,
         "text_stats": _q_text_stats,
         "text_topk_per_lang": _q_text_topk_per_lang,
         "text_token_counts": _q_text_token_counts,
@@ -878,6 +940,64 @@ select 'http://example.org/document_' || doc_id as subj,
        'http://example.org/mentions' as pred,
        'http://example.org/Term_' || entity as obj
 from hits
+"""
+
+# Full TF-IDF linker replay. Determinism notes: every float reduction folds
+# token-sorted left-to-right (Spark: F.aggregate over array_sort(collect_list);
+# DuckDB: list_reduce over list(... ORDER BY tok); 0.0+x==x so the missing
+# init element is exact); tf/df/N are exact ints; idf/norm/cosine are then
+# identical double expressions on both engines. Contexts are single-token, so
+# their normalized weight replays as w/sqrt(w*w) (NOT hardcoded 1.0 — sqrt of
+# a rounded square can be 1 ulp off 1.0, and both engines must take the same
+# path).
+_LINKER_ALIAS_SQL = ", ".join(
+    f"('{g}', '{g}', 1.0), ('{g}', '{g}#alt', 0.5)" for g in DOC_GAZETTEER
+)
+ORACLE["kg_linked_mentions"] = rf"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+  FROM documents
+),
+tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY id, tok),
+dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+nd AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM tf),
+w AS (
+  SELECT id, tok, tf * (ln(n / (1 + df)) + 1) AS w
+  FROM tf JOIN dfq USING (tok) CROSS JOIN nd
+),
+norms AS (
+  SELECT id, sqrt(list_reduce(list(w * w ORDER BY tok), (a, b) -> a + b)) AS norm
+  FROM w GROUP BY id
+),
+wn AS (SELECT id, tok, w / norm AS w FROM w JOIN norms USING (id)),
+al AS (SELECT * FROM (VALUES {_LINKER_ALIAS_SQL}) AS t(alias, entity_id, prior)),
+ctx_tf AS (SELECT DISTINCT entity_id, alias AS tok FROM al),
+ctx_df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM ctx_tf GROUP BY tok),
+ctx_nd AS (SELECT CAST(count(DISTINCT entity_id) AS DOUBLE) AS n FROM ctx_tf),
+ctx_w AS (
+  SELECT entity_id, tok, (ln(n / (1 + df)) + 1) AS w
+  FROM ctx_tf JOIN ctx_df USING (tok) CROSS JOIN ctx_nd
+),
+ctx_wn AS (SELECT entity_id, tok, w / sqrt(w * w) AS cw FROM ctx_w),
+cand AS (
+  SELECT DISTINCT t.id AS doc_id, t.tok AS surface, al.entity_id, al.prior
+  FROM (SELECT DISTINCT id, tok FROM toks) t JOIN al ON t.tok = al.alias
+),
+cos AS (
+  SELECT c.doc_id, c.entity_id,
+         list_reduce(list(wn.w * cx.cw ORDER BY wn.tok), (a, b) -> a + b) AS cos
+  FROM (SELECT DISTINCT doc_id, entity_id FROM cand) c
+  JOIN wn ON wn.id = c.doc_id
+  JOIN ctx_wn cx ON cx.entity_id = c.entity_id AND cx.tok = wn.tok
+  GROUP BY c.doc_id, c.entity_id
+)
+SELECT doc_id, surface, entity_id,
+       round(0.7 * coalesce(cos, 0.0) + 0.3 * prior, 6) AS score
+FROM cand LEFT JOIN cos USING (doc_id, entity_id)
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id, surface
+  ORDER BY round(0.7 * coalesce(cos, 0.0) + 0.3 * prior, 6) DESC, entity_id
+) = 1
 """
 
 ORACLE["kg_pred_counts"] = rf"""
@@ -1226,6 +1346,36 @@ select media_id, mime, n_bytes, digest, i::bigint as dim_i,
     + (strpos('0123456789abcdef', substr(digest, i*4 + 4, 1)) - 1)
   ) / 65535.0)::float)::double, 6) as v
 from base cross join (select unnest(range(8)) as i)
+"""
+
+# Independent pixel derivation: the generator's byte stream is
+# concat(md5(f"{seed}|{id}|{k}")) hex-decoded; the oracle re-derives each
+# byte from the hex digest arithmetically (strpos-based hex parse, exact
+# 64-bit int math) — it never touches the PPM/BMP container, so the Spark
+# side's header parsing / BGR swap / bottom-up flip are genuinely checked.
+ORACLE["multimodal_decode"] = r"""
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         CAST(2 + (doc_id % 3) AS INTEGER) AS w,
+         CAST(2 + ((doc_id * 7) % 3) AS INTEGER) AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt
+  FROM documents
+),
+px AS (
+  SELECT media_id, fmt, w, h, j,
+    (strpos('0123456789abcdef',
+            substr(md5('42|' || media_id || '|' || (j // 16)), ((j % 16) * 2) + 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef',
+              substr(md5('42|' || media_id || '|' || (j // 16)), ((j % 16) * 2) + 2, 1)) - 1) AS val
+  FROM meta, LATERAL (SELECT unnest(range(0, CAST(w AS BIGINT) * h * 3)) AS j) rj
+)
+SELECT media_id, fmt, w, h,
+  CAST(count(*) AS BIGINT) AS n_px,
+  round(CAST(sum(CASE WHEN j % 3 = 0 THEN val END) AS DOUBLE) / (w * h), 6) AS mean_r,
+  round(CAST(sum(CASE WHEN j % 3 = 1 THEN val END) AS DOUBLE) / (w * h), 6) AS mean_g,
+  round(CAST(sum(CASE WHEN j % 3 = 2 THEN val END) AS DOUBLE) / (w * h), 6) AS mean_b,
+  CAST(sum((j + 1) * val) AS BIGINT) AS checksum
+FROM px GROUP BY media_id, fmt, w, h
 """
 
 ORACLE["text_stats"] = r"""

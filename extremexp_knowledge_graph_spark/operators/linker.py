@@ -63,10 +63,30 @@ def tfidf_weights(
     w = tf.join(dfreq, "tok").withColumn(
         "w", F.col("tf") * (F.log(F.col("n_docs") / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))
     ).drop("n_docs")
-    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    # Norms fold token-sorted, left-to-right in DOUBLE (repo convention:
+    # every float reduction is order-deterministic so scores are
+    # bit-reproducible across partitionings and against the DuckDB oracle's
+    # ``list_reduce(list(... ORDER BY tok))``). A doc's token list is
+    # bounded by its vocabulary, so the per-group array is small.
+    norms = (
+        w.groupBy("id")
+        .agg(_sorted_fold(F.col("tok"), F.col("w") * F.col("w")).alias("norm2"))
+        .select("id", F.sqrt("norm2").alias("norm"))
+    )
     return (
         w.join(norms, "id")
         .select("id", "tok", (F.col("w") / F.col("norm")).alias("w"))
+    )
+
+
+def _sorted_fold(key, val):
+    """Sum ``val`` over a group in ``key`` order, folding left-to-right in
+    DOUBLE — the deterministic replacement for ``F.sum`` wherever the result
+    feeds a rounded, hash-compared score."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(key.alias("k"), val.alias("v")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["v"],
     )
 
 
@@ -122,7 +142,8 @@ def link_mentions(
             ["entity_id", "tok"],
         )
         .groupBy("doc_id", "entity_id")
-        .agg(F.sum(F.col("w") * F.col("cw")).alias("cos"))
+        # token-sorted deterministic fold (see tfidf_weights norms)
+        .agg(_sorted_fold(F.col("tok"), F.col("w") * F.col("cw")).alias("cos"))
     )
     scored = (
         cands.join(cos, ["doc_id", "entity_id"], "left")

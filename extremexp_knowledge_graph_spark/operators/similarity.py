@@ -110,6 +110,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 7,
+    staging_path: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within one corpus:
     (id_a, id_b, score) with id_a < id_b and cosine ≥ threshold.
@@ -120,22 +121,27 @@ def embedding_near_dup_pairs(
     plane is ~0.9, so recall stays high exactly for the near-dup band we
     care about). ``n_planes=0`` opts into exact all-pairs — a quadratic
     crossJoin, the small-corpus / recall-baseline path ONLY; never call it
-    with defaults on a large corpus."""
+    with defaults on a large corpus.
+
+    ``staging_path``: materialize the exploded bucket frame there (parquet,
+    executor-reachable path — same contract as ``kg_store.merge_triples``
+    staging) so the Arrow bucket kernel runs ONCE and the self-join reads
+    the staged columnar frame twice. Without it the kernel evaluates once
+    per join side: ReuseExchange does NOT fire across ArrowEvalPython
+    subplans (PythonUDF expressions defeat canonicalized-plan equality —
+    measured on the sf0.01 explain), a 2× constant on a cheap matmul.
+    Note staging makes this call EAGER (it performs the staging write)."""
     if n_planes > 0:
         all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
         buckets = lsh_buckets_udf(all_planes)
-        # ONE exploded plan aliased twice. Measured reality (sf0.01 explain):
-        # ReuseExchange does NOT currently fire across ArrowEvalPython
-        # subplans (PythonUDF expressions defeat canonicalized-plan
-        # equality), so the bucket kernel still evaluates once per side — a
-        # 2× constant on a cheap matmul, not a scale blocker. The shared
-        # shape is kept: it reads as the single logical input it is, and
-        # inherits the dedup for free if Spark's canonicalization improves.
         e = corpus.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
         )
+        if staging_path is not None:
+            e.write.mode("overwrite").parquet(staging_path)
+            e = corpus.sparkSession.read.parquet(staging_path)
         pairs = (
             e.alias("A")
             .join(e.alias("B"), ["tbl", "bucket"])

@@ -175,6 +175,28 @@ def compact(
     return files_before, files_after
 
 
+def replace_store(
+    spark: SparkSession, triples: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Atomically replace the store's contents with ``triples`` (which may
+    read FROM the store — source and target directories differ until the
+    swap). Same two-rename ``.compacting`` swap + recovery discipline as
+    ``compact``; Iceberg form is ``REPLACE TABLE ... AS SELECT`` (one
+    snapshot commit). Used by migrations that rewrite rows in place —
+    e.g. ``reconcile_canonicalization``'s IRI moves."""
+    import os
+    import shutil
+
+    _recover_interrupted_compact(path)
+    tmp = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    with_layout(triples, n_buckets).write.mode("overwrite").partitionBy("subj_bucket").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def snapshot(spark: SparkSession, path: str, snapshot_path: str) -> str:
     """A11: backup — a full copy in the sandbox; Iceberg gives this for free
     via time-travel snapshots (no copy)."""

@@ -149,6 +149,17 @@ def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def _read_emap(spark: SparkSession, path: str) -> DataFrame:
+    """Entity-map read that first heals an interrupted two-rename swap
+    (reconcile_canonicalization uses the same ``.compacting`` discipline as
+    the store compactor) — otherwise a crash mid-swap would read as an
+    EMPTY map and downstream joins would silently drop every mention."""
+    from extremexp_knowledge_graph_spark.plans.kg_store import _recover_interrupted_compact
+
+    _recover_interrupted_compact(path)
+    return _read_or_empty(spark, path, EMAP_SCHEMA)
+
+
 def _read_buckets(spark: SparkSession, path: str, buckets: list[int], schema=None) -> DataFrame:
     """Read only the given ``url_bucket`` partitions — the filter is a
     partition-pruning predicate, so cost is O(delta), never O(store)."""
@@ -380,7 +391,7 @@ def run_web_pipeline(
         if n_pend:
             todo = _read_buckets(spark, docs_path, pend)
             in_counts = _bucket_counts(todo)
-            emap = _read_or_empty(spark, entity_map_path, EMAP_SCHEMA)
+            emap = _read_emap(spark, entity_map_path)
             # bucket filter prunes the linked scan to pending partitions; the
             # semi-join stays as the row-exact guard within them
             linked = _read_buckets(spark, linked_path, pend, LINKED_SCHEMA).join(
@@ -485,7 +496,7 @@ def _run_canonicalize_delta(
     if buckets is not None:
         linked = linked.where(F.col("url_bucket").isin(buckets))
     ents = linked.select(F.col("entity_id"), F.col("entity_id").alias("name")).distinct()
-    emap = spark.read.parquet(entity_map_path)
+    emap = _read_emap(spark, entity_map_path)
     new_e = ents.join(emap.select("entity_id"), "entity_id", "left_anti")
     # Stage the delta once (it feeds LSH twice + the final assign); disk
     # staging, same rationale as the S4 batch (kg_store.py merge staging).
@@ -521,6 +532,129 @@ def _run_canonicalize_delta(
         return spark.read.parquet(staging).count()
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def reconcile_canonicalization(
+    spark: SparkSession, out_dir: str, n_buckets: int = kg_store.DEFAULT_BUCKETS
+) -> dict:
+    """Full recanonicalization — the periodic migration that pays off the
+    incremental-ER stability debt.
+
+    ``canonicalize_entities_incremental`` deliberately never merges two
+    EXISTING groups (a new entity bridging them adopts the minimum
+    canonical and the residual merge is deferred — its stability contract);
+    after enough deltas the map drifts from what batch canonicalization
+    would produce, and the materialized store holds IRIs for canonicals
+    that a from-scratch clustering would have merged away. The reference
+    trivially "reconciles" by reprocessing everything per run
+    (extremexp_kg_matic/src/main.py:180-192); at 100 TB this must be a
+    targeted migration instead:
+
+    1. re-cluster ALL known entities from scratch (the same batch operator
+       and blocking parameters the first S3 run used);
+    2. diff the new map against the old → a ``moves(old_canonical,
+       new_canonical)`` relation. Moves are FUNCTIONAL (one new canonical
+       per old): every old group was formed from similarity edges that
+       still exist, so batch re-clustering only ever merges old groups,
+       never splits them — all members travel together;
+    3. rewrite the store's ``subj``/``obj`` IRIs through the (broadcast —
+       moves ≪ store) move relation, dropping the duplicates merging
+       creates, and swap atomically (``kg_store.replace_store``);
+    4. swap in the new map and rebuild the signature table (same swap
+       discipline) and record an ``s3_reconcile`` manifest row.
+
+    Idempotent: a second run finds zero moves and touches nothing.
+    Incremental ingest continues seamlessly afterwards — adoption joins
+    the NEW map. Returns {"entities", "moves", "rewritten_triples"}.
+    """
+    man = f"{out_dir}/manifest"
+    linked_path = f"{out_dir}/linked"
+    entity_map_path = f"{out_dir}/entity_map"
+    sigs_path = f"{out_dir}/entity_sigs"
+    store_path = f"{out_dir}/triples"
+    t0 = time.monotonic()
+
+    old_map = _read_emap(spark, entity_map_path)
+    # the universe: everything currently linked plus everything ever mapped
+    # (an entity whose pages were superseded keeps its assignment)
+    ents = (
+        _read_or_empty(spark, linked_path, LINKED_SCHEMA)
+        .select("entity_id")
+        .unionByName(old_map.select("entity_id"))
+        .distinct()
+        .select("entity_id", F.col("entity_id").alias("name"))
+    )
+    new_map = canonicalize_entities(
+        ents, id_col="entity_id", name_col="name", threshold=CANON_THRESHOLD,
+        num_hashes=CANON_NUM_HASHES, bands=CANON_BANDS, shingle_n=CANON_SHINGLE_N,
+    )
+    # stage the new map once (feeds the diff, the swap, and future reads)
+    import shutil
+
+    map_tmp = entity_map_path.rstrip("/") + ".compacting"
+    new_map.write.mode("overwrite").parquet(map_tmp)
+    new_map = spark.read.parquet(map_tmp)
+
+    moves = (
+        old_map.alias("o")
+        .join(new_map.alias("n"), "entity_id")
+        .where(F.col("o.canonical_id") != F.col("n.canonical_id"))
+        .select(
+            F.col("o.canonical_id").alias("old_c"),
+            F.col("n.canonical_id").alias("new_c"),
+        )
+        .distinct()
+    )
+    n_moves = moves.count()
+    n_rewritten = 0
+    if n_moves and os.path.isdir(store_path):
+        mv = moves.select(
+            F.concat(F.lit(EX2 + "Entity_"), F.col("old_c")).alias("old_uri"),
+            F.concat(F.lit(EX2 + "Entity_"), F.col("new_c")).alias("new_uri"),
+        )
+        t = kg_store.read_triples(spark, store_path)
+        t = (
+            t.join(
+                F.broadcast(mv.withColumnRenamed("old_uri", "subj")), "subj", "left"
+            )
+            .withColumn("subj", F.coalesce("new_uri", F.col("subj")))
+            .drop("new_uri")
+        )
+        t = (
+            t.join(F.broadcast(mv.withColumnRenamed("old_uri", "obj")), "obj", "left")
+            .withColumn(
+                "obj",
+                F.when(
+                    F.col("obj_is_iri") & F.col("new_uri").isNotNull(), F.col("new_uri")
+                ).otherwise(F.col("obj")),
+            )
+            .drop("new_uri")
+        )
+        rewritten = t.dropDuplicates(TRIPLE_KEY)
+        kg_store.replace_store(spark, rewritten, store_path, n_buckets)
+        n_rewritten = kg_store.read_triples(spark, store_path).count()
+    # swap the map + rebuild signatures (same entity set → full rebuild is
+    # the honest cost of a reconcile; it is O(entities), not O(corpus))
+    map_old = entity_map_path.rstrip("/") + ".old"
+    shutil.rmtree(map_old, ignore_errors=True)
+    if os.path.isdir(entity_map_path):
+        os.rename(entity_map_path, map_old)
+    os.rename(map_tmp, entity_map_path)
+    shutil.rmtree(map_old, ignore_errors=True)
+    # sigs from a FRESH post-swap read: the pre-swap `ents` plan still
+    # points at the renamed-away old map files
+    final_map = spark.read.parquet(entity_map_path)
+    _entity_band_rows(
+        final_map.select("entity_id", F.col("entity_id").alias("name"))
+    ).write.mode("overwrite").parquet(sigs_path)
+    n_entities = final_map.count()
+    manifest.append_manifest(
+        spark, man,
+        [{"stage": "s3_reconcile", "partition_key": "global",
+          "rows_in": n_entities, "rows_out": n_moves,
+          "wall_ms": int((time.monotonic() - t0) * 1000)}],
+    )
+    return {"entities": n_entities, "moves": n_moves, "rewritten_triples": n_rewritten}
 
 
 def _materialize_triples(docs: DataFrame, linked: DataFrame, emap: DataFrame) -> DataFrame:

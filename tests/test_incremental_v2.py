@@ -290,6 +290,85 @@ def test_streaming_recrawl_and_bounded_files(spark, tmp_path):
     assert per_bucket and max(per_bucket.values()) == 1, per_bucket
 
 
+def test_reconcile_converges_to_batch(spark, tmp_path):
+    """The full-recanonicalization reconciler: N incremental batches + one
+    reconcile ≡ batch canonicalization from scratch — MAP and STORE both —
+    and a second reconcile is a no-op.
+
+    The fixture builds the classic deferred bridge: E_A and E_B are below
+    the merge threshold (stay separate in batch 1), E_C arrives in batch 2
+    and is above-threshold to BOTH. Incrementally, E_C adopts the minimum
+    canonical and the A↔B merge is deferred (stability contract); a batch
+    run merges all three. The reconcile must produce the moves that close
+    that gap and rewrite the store's IRIs."""
+    E_A = "alpha beta gamma delta one"
+    E_B = "alpha beta gamma delta two"
+    E_C = "alpha beta gamma delta"
+    aliases = spark.createDataFrame(
+        [("aone", E_A, 1.0, E_A), ("atwo", E_B, 1.0, E_B), ("acee", E_C, 1.0, E_C)],
+        ["alias", "entity_id", "prior", "context"],
+    )
+
+    def mk_pages(specs):
+        rows = [
+            (f"https://example.org/p{i}",
+             f"<html><head></head><body><p>{txt}</p></body></html>".encode())
+            for i, txt in specs
+        ]
+        return spark.createDataFrame(rows, ["url", "html"]).select(
+            "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+            F.lit(None).cast("string").alias("text"), F.lit("en").alias("lang"),
+        )
+
+    batch1 = [(0, "system uses aone here"), (1, "network has atwo features")]
+    batch2 = batch1 + [(2, "pipeline contains acee models")]
+
+    inc = str(tmp_path / "inc")
+    wp.run_web_pipeline(spark, mk_pages(batch1), inc, aliases=aliases, n_url_buckets=4)
+    wp.run_web_pipeline(spark, mk_pages(batch2), inc, aliases=aliases, n_url_buckets=4)
+    m_inc = {r.entity_id: r.canonical_id for r in spark.read.parquet(f"{inc}/entity_map").collect()}
+    # the deferred bridge: A and B still separate, C adopted the minimum
+    assert m_inc[E_A] == E_A and m_inc[E_B] == E_B and m_inc[E_C] == E_A
+
+    full = str(tmp_path / "full")
+    wp.run_web_pipeline(spark, mk_pages(batch2), full, aliases=aliases, n_url_buckets=4)
+    m_full = {r.entity_id: r.canonical_id for r in spark.read.parquet(f"{full}/entity_map").collect()}
+    assert set(m_full.values()) == {E_C}  # batch merges all three (min id)
+
+    res = wp.reconcile_canonicalization(spark, inc)
+    assert res["moves"] >= 2  # E_A→E_C and E_B→E_C at least
+    m_rec = {r.entity_id: r.canonical_id for r in spark.read.parquet(f"{inc}/entity_map").collect()}
+    assert m_rec == m_full  # map equality with batch-from-scratch
+
+    def keys(out):
+        t = spark.read.parquet(f"{out}/triples")
+        return {(r.subj, r.pred, r.obj, r.obj_is_iri, r.obj_datatype)
+                for r in t.select("subj", "pred", "obj", "obj_is_iri", "obj_datatype").collect()}
+
+    assert keys(inc) == keys(full)  # store equality after the IRI rewrite
+
+    # sigs stay consistent with the reconciled map
+    sigs = spark.read.parquet(f"{inc}/entity_sigs")
+    want = wp._entity_band_rows(
+        spark.read.parquet(f"{inc}/entity_map")
+        .select("entity_id", F.col("entity_id").alias("name"))
+    )
+    assert sorted(map(tuple, sigs.collect())) == sorted(map(tuple, want.collect()))
+
+    # idempotent second run
+    res2 = wp.reconcile_canonicalization(spark, inc)
+    assert res2["moves"] == 0
+    assert keys(inc) == keys(full)
+
+    # incremental ingest continues cleanly after a reconcile
+    batch3 = batch2 + [(3, "agent implements aone again")]
+    st = wp.run_web_pipeline(spark, mk_pages(batch3), inc, aliases=aliases, n_url_buckets=4)
+    assert st[wp.S4]["new_triples"] > 0
+    linked = spark.read.parquet(f"{inc}/linked").select("entity_id").distinct()
+    emap = spark.read.parquet(f"{inc}/entity_map").select("entity_id")
+    assert linked.join(emap, "entity_id", "left_anti").count() == 0
+
+
 def test_bucket_expr_segment_granularity(spark, tmp_path):
     """bucket_expr lets the deployment bucket by its real delta granularity:
     with crawl-segment bucketing, dropping one new segment re-opens exactly

@@ -75,3 +75,68 @@ def test_paper_details_query(spark):
     assert by_class["http://extremexp.eu/ontology/matic_papers/Paper"] == 5
     total = sum(r.n for r in count_by_predicate(triples).collect())
     assert total == 2815
+
+
+def test_decode_image_roundtrip_exact(spark):
+    """Real codec path: generate valid PPM/BMP files, decode, and require
+    BYTE-EXACT pixel recovery against the generator's md5 stream — BMP's
+    bottom-up rows, 4-byte padding and BGR order must all be undone."""
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        _image_pixel_stream,
+        decode_image,
+        generate_images,
+        image_dims,
+    )
+
+    media = generate_images(spark, 24, seed=7)
+    rows = {r.media_id: r for r in decode_image(media).collect()}
+    assert len(rows) == 24
+    for mid in range(24):
+        w, h = image_dims(mid)
+        want = list(_image_pixel_stream(7, mid, w * h * 3))
+        r = rows[mid]
+        assert (r.fmt, r.src_w, r.src_h, r.w, r.h) == (
+            "ppm" if mid % 2 == 0 else "bmp", w, h, w, h)
+        assert [int(v) for v in r.pixels] == want, mid
+
+
+def test_decode_image_resize_nearest(spark):
+    """Nearest-neighbor resize: output dims honored; each output pixel is
+    the source pixel at floor(dst*src/out)."""
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        _image_pixel_stream,
+        decode_image,
+        generate_images,
+        image_dims,
+    )
+
+    media = generate_images(spark, 6, seed=7)
+    out = {r.media_id: r for r in decode_image(media, width=3, height=2).collect()}
+    for mid in range(6):
+        w, h = image_dims(mid)
+        src = list(_image_pixel_stream(7, mid, w * h * 3))
+        r = out[mid]
+        assert (r.w, r.h) == (3, 2)
+        got = [int(v) for v in r.pixels]
+        want = []
+        for rr in range(2):
+            sr = (rr * h) // 2
+            for cc in range(3):
+                sc = (cc * w) // 3
+                want.extend(src[3 * (sr * w + sc): 3 * (sr * w + sc) + 3])
+        assert got == want, mid
+
+
+def test_decode_image_on_error(spark):
+    """Garbage payloads: raise by default, drop with on_error='skip'."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from extremexp_knowledge_graph_spark.operators.multimodal import decode_image
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG not supported"))], ["media_id", "media"]
+    )
+    assert decode_image(bad, on_error="skip").count() == 0
+    with _pytest.raises(Exception):
+        decode_image(bad).count()

@@ -51,3 +51,21 @@ def test_ann_broadcasts_queries_not_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
     # the only exchange is the per-query top-k window, keyed on query_id
     assert plan.count("Exchange hashpartitioning(query_id") >= 1
+
+
+def test_lsh_near_dup_staging_single_eval(spark, tmp_path):
+    """Staged embedding near-dup: the Arrow bucket kernel evaluates once
+    (during the staging write) and the self-join plan contains ZERO
+    ArrowEvalPython nodes — both sides read the staged parquet. Results
+    must equal the unstaged plan exactly."""
+    from extremexp_knowledge_graph_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    unstaged = embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8)
+    staged = embedding_near_dup_pairs(
+        emb, threshold=0.4, n_planes=4, n_tables=8, staging_path=str(tmp_path / "b")
+    )
+    plan = _executed_plan(staged)
+    assert "ArrowEvalPython" not in plan, plan[:2000]
+    assert _executed_plan(unstaged).count("ArrowEvalPython") == 2  # the 2x it saves
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, unstaged.collect()))
