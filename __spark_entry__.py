@@ -394,14 +394,15 @@ def _q_multimodal_features(spark, sf_dir):
 
 def _q_multimodal_decode(spark, sf_dir):
     """REAL image decode (operators/multimodal.py::decode_image): documents'
-    doc_ids mint valid PPM/BMP files (pixels = md5 stream of (seed, id)),
-    the Arrow kernel decodes them — undoing the BMP bottom-up/padding/BGR
-    layout — and the query aggregates per-channel means plus a
-    position-weighted checksum. The oracle recomputes the SAME pixels
-    arithmetically from the md5 formula (an independent derivation, not a
-    decoder replay), so a decoder that misparses headers, forgets the BGR
-    swap (channel means swap) or the row flip (checksum shifts) fails the
-    hash."""
+    doc_ids mint valid PPM/BMP/PNG files (pixels = md5 stream of
+    (seed, id); PNG zlib-compressed with all five scanline filters), the
+    Arrow kernel decodes them — undoing the BMP bottom-up/padding/BGR
+    layout and reconstructing the PNG filter predictors — and the query
+    aggregates per-channel means plus a position-weighted checksum. The
+    oracle recomputes the SAME pixels arithmetically from the md5 formula
+    (an independent derivation, not a decoder replay), so a decoder that
+    misparses headers, forgets the BGR swap (channel means swap), the row
+    flip (checksum shifts) or any PNG unfilter predictor fails the hash."""
     from extremexp_knowledge_graph_spark.operators.multimodal import (
         decode_image,
         images_from_ids,
@@ -421,6 +422,41 @@ def _q_multimodal_decode(spark, sf_dir):
         "media_id", "fmt",
         F.col("w").cast("int").alias("w"), F.col("h").cast("int").alias("h"),
         "n_px", "mean_r", "mean_g", "mean_b", "checksum",
+    )
+
+
+def _q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode (operators/multimodal.py::decode_audio): documents'
+    doc_ids mint valid mono PCM-16 WAV files (samples = md5 stream read as
+    little-endian int16), the Arrow kernel parses the RIFF/fmt/data chunks,
+    and the query aggregates exact integer sample statistics (sum, energy,
+    sign flips) plus a rounded mean. The oracle re-derives each sample from
+    the md5 digests arithmetically — a decoder that misreads chunk bounds,
+    byte order, or signedness fails the hash."""
+    from pyspark.sql import Window
+
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        audio_from_ids,
+        decode_audio,
+    )
+
+    media = audio_from_ids(_docs(spark, sf_dir).select(F.col("doc_id").alias("id")))
+    dec = decode_audio(media)
+    s = dec.select(
+        "media_id", "sample_rate", "n_samples", F.posexplode("samples").alias("j", "fv")
+    ).withColumn("v", F.col("fv").cast("long"))
+    s = s.withColumn(
+        "prev", F.lag("v").over(Window.partitionBy("media_id").orderBy("j"))
+    )
+    return s.groupBy("media_id", "sample_rate", "n_samples").agg(
+        F.sum("v").cast("long").alias("sum_amp"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sum_sq"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & ((F.col("v") < 0) != (F.col("prev") < 0)), 1
+            ).otherwise(0)
+        ).cast("long").alias("sign_flips"),
+        F.round(F.sum("v").cast("double") / F.col("n_samples"), 6).alias("mean_amp"),
     )
 
 
@@ -800,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_view_sets": _q_kg_entity_view_sets,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio": _q_multimodal_audio,
         "text_stats": _q_text_stats,
         "text_topk_per_lang": _q_text_topk_per_lang,
         "text_token_counts": _q_text_token_counts,
@@ -1358,7 +1395,7 @@ WITH meta AS (
   SELECT doc_id AS media_id,
          CAST(2 + (doc_id % 3) AS INTEGER) AS w,
          CAST(2 + ((doc_id * 7) % 3) AS INTEGER) AS h,
-         CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt
+         CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt
   FROM documents
 ),
 px AS (
@@ -1376,6 +1413,46 @@ SELECT media_id, fmt, w, h,
   round(CAST(sum(CASE WHEN j % 3 = 2 THEN val END) AS DOUBLE) / (w * h), 6) AS mean_b,
   CAST(sum((j + 1) * val) AS BIGINT) AS checksum
 FROM px GROUP BY media_id, fmt, w, h
+"""
+
+# Independent sample derivation for the WAV decode: sample j is bytes
+# (2j, 2j+1) of the md5('42|wav|'||id||'|'||k) digest stream, read
+# little-endian signed 16-bit. 2j is even so both bytes always fall in the
+# SAME digest (k = j // 8) — the oracle re-derives them arithmetically and
+# never touches the RIFF container, so chunk-walk/byte-order/signedness in
+# the Spark kernel are genuinely checked. All aggregates are exact 64-bit
+# ints except the one rounded mean.
+ORACLE["multimodal_audio"] = r"""
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS n_samples,
+         CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate
+  FROM documents
+),
+b AS (
+  SELECT media_id, n_samples, sample_rate, j,
+    (strpos('0123456789abcdef',
+            substr(md5('42|wav|' || media_id || '|' || (j // 8)), (((2*j) % 16) * 2) + 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef',
+              substr(md5('42|wav|' || media_id || '|' || (j // 8)), (((2*j) % 16) * 2) + 2, 1)) - 1) AS lo,
+    (strpos('0123456789abcdef',
+            substr(md5('42|wav|' || media_id || '|' || (j // 8)), (((2*j+1) % 16) * 2) + 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef',
+              substr(md5('42|wav|' || media_id || '|' || (j // 8)), (((2*j+1) % 16) * 2) + 2, 1)) - 1) AS hi
+  FROM meta, LATERAL (SELECT unnest(range(0, n_samples)) AS j) rj
+),
+s AS (
+  SELECT media_id, n_samples, sample_rate, j,
+         lo + 256 * hi - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END AS v
+  FROM b
+),
+s2 AS (SELECT *, lag(v) OVER (PARTITION BY media_id ORDER BY j) AS prev FROM s)
+SELECT media_id, sample_rate, n_samples,
+  CAST(sum(v) AS BIGINT) AS sum_amp,
+  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+  CAST(sum(CASE WHEN prev IS NOT NULL AND ((v < 0) != (prev < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS sign_flips,
+  round(CAST(sum(v) AS DOUBLE) / n_samples, 6) AS mean_amp
+FROM s2 GROUP BY media_id, sample_rate, n_samples
 """
 
 ORACLE["text_stats"] = r"""

@@ -6,15 +6,19 @@ typed metadata map; decode/feature-extraction runs as Arrow-batched
 row and batches stay columnar end to end.
 
 ``decode_image`` is a REAL codec path for the formats a pure numpy/stdlib
-kernel can parse — binary PPM (P6) and uncompressed 24-bit BMP (bottom-up
-rows, 4-byte padding, BGR order all undone) — with nearest-neighbor resize;
-``generate_images`` mints valid files of both formats deterministically, so
-the decode is driver-oracled against an independent derivation of the
-pixels. Compressed formats (PNG/JPEG) and video still need codec libraries
-absent from this container: ``decode_features`` is the documented
-deterministic byte-level stand-in for those, and ``sample_video_frames``
-raises with its intended signature documented. Swapping in PIL/pyav changes
-one kernel body, nothing structural.
+kernel can parse — binary PPM (P6), uncompressed 24-bit BMP (bottom-up
+rows, 4-byte padding, BGR order all undone), and 8-bit RGB/RGBA **PNG**
+(zlib IDAT inflate + all five scanline filters None/Sub/Up/Average/Paeth
+reconstructed; stdlib ``zlib`` is the inflater, the unfilter loop is ours)
+— with nearest-neighbor resize. ``decode_audio`` is the audio analogue:
+RIFF/WAVE PCM-16 parsing via ``struct`` + ``np.frombuffer``.
+``generate_images`` / ``audio_from_ids`` mint valid files of every format
+deterministically, so both decoders are driver-oracled against an
+INDEPENDENT arithmetic derivation of the payload stream. What still needs
+codec libraries absent from this container: JPEG (DCT) and video —
+``decode_features`` is the documented deterministic byte-level stand-in,
+and ``sample_video_frames`` raises with its intended signature documented.
+Swapping in PIL/pyav changes one kernel body, nothing structural.
 """
 
 from __future__ import annotations
@@ -119,16 +123,73 @@ def _encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
     return file_hdr + info_hdr + body
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(w: int, h: int, rgb: bytes, filter_for_row=None) -> bytes:
+    """Minimal spec-valid PNG: 8-bit color type 2 (RGB), non-interlaced,
+    one IDAT. ``filter_for_row(r)`` picks the scanline filter (0-4) so the
+    generator can exercise every predictor the decoder must undo; filters
+    reference the RAW previous scanline per the PNG spec."""
+    import struct
+    import zlib
+
+    bpp, stride = 3, w * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        line = rgb[r * stride : (r + 1) * stride]
+        f = filter_for_row(r) if filter_for_row else 0
+        if f == 0:
+            filt = line
+        else:
+            fb = bytearray(stride)
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                fb[x] = (line[x] - pred) & 0xFF
+            filt = bytes(fb)
+        raw.append(f)
+        raw += filt
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def image_dims(mid: int) -> tuple[int, int]:
     """Deterministic small test dimensions per media id (2-4 px per side)."""
     return 2 + (mid % 3), 2 + ((mid * 7) % 3)
 
 
 def images_from_ids(ids: DataFrame, seed: int = 42) -> DataFrame:
-    """Deterministic REAL image table keyed by an ``id`` column: even ids
-    are binary PPM (P6), odd ids are 24-bit bottom-up BMP, pixels a pure
-    md5 function of (seed, id) — valid files any external viewer/decoder
-    would accept, generated without codec libraries."""
+    """Deterministic REAL image table keyed by an ``id`` column: ids cycle
+    through binary PPM (P6), 24-bit bottom-up BMP, and zlib-compressed PNG
+    (scanline filter ``(id + row) % 5`` so all five predictors occur);
+    pixels a pure md5 function of (seed, id) — valid files any external
+    viewer/decoder would accept, generated without codec libraries."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,10 +198,13 @@ def images_from_ids(ids: DataFrame, seed: int = 42) -> DataFrame:
                 mid = int(mid)
                 w, h = image_dims(mid)
                 rgb = _image_pixel_stream(seed, mid, w * h * 3)
-                if mid % 2 == 0:
+                if mid % 3 == 0:
                     payload, mime = _encode_ppm(w, h, rgb), "image/x-portable-pixmap"
-                else:
+                elif mid % 3 == 1:
                     payload, mime = _encode_bmp(w, h, rgb), "image/bmp"
+                else:
+                    payload = _encode_png(w, h, rgb, lambda r, m=mid: (m + r) % 5)
+                    mime = "image/png"
                 rows.append(
                     {
                         "media_id": mid,
@@ -257,17 +321,106 @@ def _decode_bmp(payload: bytes):
     return w, h, rows[:, :, ::-1]  # BGR → RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _unfilter_scanlines(raw: bytes, w: int, h: int, bpp: int):
+    """PNG filter reconstruction. None/Up are whole-row numpy ops (uint8
+    wraparound IS the mod-256 the spec wants); Sub is a per-channel-lane
+    cumulative sum; Average/Paeth are inherently sequential along the row
+    (each byte's predictor reads the just-reconstructed left neighbor), so
+    they run the per-byte loop the spec's data dependency forces."""
+    import numpy as np
+
+    stride = w * bpp
+    if len(raw) < h * (1 + stride):
+        raise ValueError("PNG IDAT truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        f = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos)
+        pos += stride
+        prev = out[r - 1] if r else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[r] = line
+        elif f == 2:  # Up
+            out[r] = line + prev
+        elif f == 1:  # Sub: cumsum down the pixels, per channel lane
+            lanes = line.reshape(w, bpp).astype(np.uint32)
+            out[r] = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif f == 3:  # Average
+            cur = out[r]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = out[r]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+    return out
+
+
+def _decode_png(payload: bytes):
+    """8-bit RGB (color type 2) / RGBA (6, alpha dropped) non-interlaced
+    PNG: chunk walk with CRC check, concatenated-IDAT zlib inflate, then
+    ``_unfilter_scanlines``. Palette/interlace/16-bit raise — honest scope,
+    not silent garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color_type={ctype} interlace={interlace}"
+        )
+    bpp = 3 if ctype == 2 else 4
+    arr = _unfilter_scanlines(zlib.decompress(idat), w, h, bpp).reshape(h, w, bpp)
+    return w, h, np.ascontiguousarray(arr[:, :, :3])  # RGBA → drop alpha
+
+
 def decode_image(
     media: DataFrame,
     width: int | None = None,
     height: int | None = None,
     on_error: str = "raise",
 ) -> DataFrame:
-    """REAL image decode for the uncompressed formats a pure-numpy/stdlib
-    kernel can handle — binary PPM (P6) and 24-bit BMP — with optional
-    nearest-neighbor resize to (width, height). Compressed formats
-    (PNG/JPEG) still require a codec library not present in this container;
-    they raise (or are skipped with ``on_error="skip"``).
+    """REAL image decode for the formats a pure-numpy/stdlib kernel can
+    handle — binary PPM (P6), 24-bit BMP, and 8-bit RGB/RGBA PNG (stdlib
+    zlib inflate + full five-filter reconstruction) — with optional
+    nearest-neighbor resize to (width, height). JPEG still requires a codec
+    library not present in this container; unrecognized payloads raise (or
+    are skipped with ``on_error="skip"``).
 
     Output: (media_id, fmt, src_w, src_h, w, h, pixels ARRAY<FLOAT>) with
     pixels the RGB row-major values (0-255) AFTER resize. Arrow-batched
@@ -289,6 +442,9 @@ def decode_image(
                     elif payload[:2] == b"BM":
                         fmt = "bmp"
                         sw, sh, arr = _decode_bmp(payload)
+                    elif payload[:8] == _PNG_MAGIC:
+                        fmt = "png"
+                        sw, sh, arr = _decode_png(payload)
                     else:
                         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
                 except ValueError:
@@ -307,6 +463,123 @@ def decode_image(
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return media.select("media_id", "media").mapInPandas(kernel, schema=DECODED_SCHEMA)
+
+
+def _audio_sample_count(mid: int) -> int:
+    """Deterministic small per-id sample count (16-48, mono)."""
+    return 16 + (mid % 5) * 8
+
+
+def _audio_rate(mid: int) -> int:
+    return 8000 * (1 + mid % 3)
+
+
+def _encode_wav(sample_rate: int, pcm: bytes) -> bytes:
+    """Minimal canonical RIFF/WAVE container: PCM (format 1), mono,
+    16-bit little-endian — fmt chunk then data chunk."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def audio_from_ids(ids: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic REAL audio table keyed by an ``id`` column: valid
+    mono PCM-16 WAV files whose samples are the md5 stream of
+    ``f"{seed}|wav|{id}|{k}"`` read as little-endian int16 — same
+    independent-derivation oracle story as ``images_from_ids``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                n, sr = _audio_sample_count(mid), _audio_rate(mid)
+                pcm = b""
+                k = 0
+                while len(pcm) < n * 2:
+                    pcm += hashlib.md5(f"{seed}|wav|{mid}|{k}".encode()).digest()
+                    k += 1
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media": _encode_wav(sr, pcm[: n * 2]),
+                        "mime": "audio/wav",
+                        "meta": {"sr": str(sr), "n": str(n), "seed": str(seed)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "media", "mime", "meta"])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("samples", ArrayType(FloatType())),
+    ]
+)
+
+
+def _decode_wav(payload: bytes):
+    """RIFF/WAVE chunk walk (chunks pad to even length per the spec):
+    requires PCM (format 1) 16-bit; returns (sample_rate, channels,
+    np.int16 samples interleaved)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sr, ch, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        pos += 8
+        if tag == b"fmt ":
+            afmt, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", payload, pos)
+            if afmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV: format={afmt} bits={bits}")
+        elif tag == b"data":
+            data = payload[pos : pos + ln]
+        pos += ln + (ln & 1)
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return sr, ch, np.frombuffer(data, dtype="<i2")
+
+
+def decode_audio(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """REAL audio decode: mono/interleaved PCM-16 WAV → raw int16 sample
+    values as ARRAY<FLOAT> (no normalization — callers choose their
+    scaling; exact int16 values keep the driver oracle arithmetic exact).
+    Same Arrow ``mapInPandas`` shape as ``decode_image``; compressed audio
+    (mp3/ogg) would need codec libs and raises (or skips)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    sr, ch, samples = _decode_wav(payload)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                out.append(
+                    (int(mid), int(sr), int(ch), len(samples) // max(ch, 1),
+                     samples.astype("float32").tolist())
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return media.select("media_id", "media").mapInPandas(kernel, schema=AUDIO_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_n_seconds: float) -> DataFrame:

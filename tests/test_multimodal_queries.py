@@ -78,9 +78,10 @@ def test_paper_details_query(spark):
 
 
 def test_decode_image_roundtrip_exact(spark):
-    """Real codec path: generate valid PPM/BMP files, decode, and require
-    BYTE-EXACT pixel recovery against the generator's md5 stream — BMP's
-    bottom-up rows, 4-byte padding and BGR order must all be undone."""
+    """Real codec path: generate valid PPM/BMP/PNG files, decode, and
+    require BYTE-EXACT pixel recovery against the generator's md5 stream —
+    BMP's bottom-up rows, 4-byte padding and BGR order, and PNG's zlib
+    inflate + scanline unfiltering must all be undone."""
     from extremexp_knowledge_graph_spark.operators.multimodal import (
         _image_pixel_stream,
         decode_image,
@@ -91,13 +92,103 @@ def test_decode_image_roundtrip_exact(spark):
     media = generate_images(spark, 24, seed=7)
     rows = {r.media_id: r for r in decode_image(media).collect()}
     assert len(rows) == 24
+    fmts = ["ppm", "bmp", "png"]
     for mid in range(24):
         w, h = image_dims(mid)
         want = list(_image_pixel_stream(7, mid, w * h * 3))
         r = rows[mid]
-        assert (r.fmt, r.src_w, r.src_h, r.w, r.h) == (
-            "ppm" if mid % 2 == 0 else "bmp", w, h, w, h)
+        assert (r.fmt, r.src_w, r.src_h, r.w, r.h) == (fmts[mid % 3], w, h, w, h)
         assert [int(v) for v in r.pixels] == want, mid
+
+
+def test_png_all_filters_roundtrip():
+    """Every PNG scanline predictor (None/Sub/Up/Average/Paeth) decodes
+    byte-exactly, including a tall image where each row uses a different
+    filter, and an RGBA image (alpha dropped). CRC corruption is caught."""
+    import numpy as np
+    import pytest as _pytest
+
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+        _image_pixel_stream,
+    )
+
+    w, h = 5, 10  # tall enough that rows 0-9 cycle through all 5 filters
+    rgb = _image_pixel_stream(3, 99, w * h * 3)
+    for f in range(5):  # uniform filter per image
+        dw, dh, arr = _decode_png(_encode_png(w, h, rgb, lambda r, ff=f: ff))
+        assert (dw, dh) == (w, h)
+        assert arr.tobytes() == rgb, f"filter {f}"
+    dw, dh, arr = _decode_png(_encode_png(w, h, rgb, lambda r: r % 5))
+    assert arr.tobytes() == rgb
+
+    corrupted = bytearray(_encode_png(w, h, rgb))
+    corrupted[50] ^= 0xFF  # flip a byte inside IDAT
+    with _pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(corrupted))
+
+    # RGBA (color type 6): filters run at bpp=4; decoder strips alpha
+    import struct
+    import zlib
+
+    from extremexp_knowledge_graph_spark.operators.multimodal import _png_chunk
+
+    rgba = _image_pixel_stream(4, 5, w * h * 4)
+    raw = bytearray()
+    prev = bytes(w * 4)
+    for r in range(h):
+        line = rgba[r * w * 4 : (r + 1) * w * 4]
+        raw.append(2)  # Up filter throughout
+        raw += bytes((line[x] - prev[x]) & 0xFF for x in range(w * 4))
+        prev = line
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    dw, dh, arr = _decode_png(payload)
+    want = np.frombuffer(rgba, np.uint8).reshape(h, w, 4)[:, :, :3]
+    assert np.array_equal(arr, want)
+
+
+def test_decode_audio_roundtrip_exact(spark):
+    """WAV PCM-16 decode: generated files parse back to the exact int16
+    sample stream (little-endian, signed), with rate/count metadata."""
+    import numpy as np
+
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        _audio_rate,
+        _audio_sample_count,
+        audio_from_ids,
+        decode_audio,
+    )
+    import hashlib
+
+    media = audio_from_ids(spark.range(10), seed=9)
+    rows = {r.media_id: r for r in decode_audio(media).collect()}
+    assert len(rows) == 10
+    for mid in range(10):
+        n = _audio_sample_count(mid)
+        pcm = b""
+        k = 0
+        while len(pcm) < n * 2:
+            pcm += hashlib.md5(f"9|wav|{mid}|{k}".encode()).digest()
+            k += 1
+        want = np.frombuffer(pcm[: n * 2], dtype="<i2").tolist()
+        r = rows[mid]
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (_audio_rate(mid), 1, n)
+        assert [int(v) for v in r.samples] == want, mid
+
+
+def test_decode_audio_on_error(spark):
+    from extremexp_knowledge_graph_spark.operators.multimodal import decode_audio
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"ID3 not a wav file"))], ["media_id", "media"]
+    )
+    assert decode_audio(bad, on_error="skip").count() == 0
 
 
 def test_decode_image_resize_nearest(spark):
