@@ -460,6 +460,40 @@ def _q_multimodal_audio(spark, sf_dir):
     )
 
 
+def _q_multimodal_video(spark, sf_dir):
+    """REAL video frame sampling (operators/multimodal.py::
+    sample_video_frames): documents' doc_ids mint valid YUV4MPEG2 streams,
+    the Arrow kernel walks the FRAME markers and stride-samples every
+    0.25 s (= every max(1, floor(0.25*fps + 0.5)) frames — half-up, so the
+    oracle replays the stride exactly), and the query aggregates exact
+    integer plane sums + a position checksum per sampled frame. The oracle
+    re-derives the plane bytes arithmetically from the md5 stream — a
+    kernel that misparses the header, miscounts frame offsets, or samples
+    the wrong stride fails the hash."""
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        sample_video_frames,
+        videos_from_ids,
+    )
+
+    media = videos_from_ids(_docs(spark, sf_dir).select(F.col("doc_id").alias("id")))
+    fr = sample_video_frames(media, every_n_seconds=0.25)
+    px = fr.select(
+        "media_id", "frame_idx", "n_frames", "fps", "w", "h",
+        F.posexplode("planes").alias("j", "fv"),
+    ).withColumn("v", F.col("fv").cast("long"))
+    wh = F.col("w") * F.col("h")
+    return px.groupBy("media_id", "frame_idx", "n_frames", "fps", "w", "h").agg(
+        F.sum(F.when(F.col("j") < wh, F.col("v"))).cast("long").alias("y_sum"),
+        F.sum(F.when((F.col("j") >= wh) & (F.col("j") < 2 * wh), F.col("v"))).cast("long").alias("u_sum"),
+        F.sum(F.when(F.col("j") >= 2 * wh, F.col("v"))).cast("long").alias("v_sum"),
+        F.sum((F.col("j") + 1) * F.col("v")).cast("long").alias("checksum"),
+    ).select(
+        "media_id", "frame_idx",
+        F.round(F.col("frame_idx").cast("double") / F.col("fps"), 6).alias("frame_ts"),
+        "n_frames", "fps", "w", "h", "y_sum", "u_sum", "v_sum", "checksum",
+    )
+
+
 def _q_text_stats(spark, sf_dir):
     """D-family text kernels: token/stopword/punct counts + quality score."""
     from extremexp_knowledge_graph_spark.functions import text as T
@@ -837,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
+        "multimodal_video": _q_multimodal_video,
         "text_stats": _q_text_stats,
         "text_topk_per_lang": _q_text_topk_per_lang,
         "text_token_counts": _q_text_token_counts,
@@ -1453,6 +1488,48 @@ SELECT media_id, sample_rate, n_samples,
   CAST(sum(CASE WHEN prev IS NOT NULL AND ((v < 0) != (prev < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS sign_flips,
   round(CAST(sum(v) AS DOUBLE) / n_samples, 6) AS mean_amp
 FROM s2 GROUP BY media_id, sample_rate, n_samples
+"""
+
+# Independent plane derivation for Y4M frame sampling: byte p of media id's
+# video stream (p = frame_idx*3*w*h + j) is hex byte p%16 of
+# md5('42|y4m|'||id||'|'||(p//16)). The stride replay uses the same
+# half-up rounding as the kernel (floor(x + 0.5), NOT round() — DuckDB
+# rounds half away from zero, Python banker's-rounds; floor(+0.5) is
+# identical on both engines for the non-negative range here).
+ORACLE["multimodal_video"] = r"""
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         CAST(2 + (doc_id % 3) AS INTEGER) AS w,
+         CAST(2 + ((doc_id * 7) % 3) AS INTEGER) AS h,
+         CAST(4 + (doc_id % 5) * 2 AS INTEGER) AS n_frames,
+         CAST(5 * (1 + doc_id % 3) AS INTEGER) AS fps
+  FROM documents
+),
+idx AS (
+  SELECT media_id, w, h, n_frames, fps, CAST(i AS INTEGER) AS frame_idx
+  FROM meta, LATERAL (
+    SELECT unnest(range(0, CAST(n_frames AS BIGINT),
+                        greatest(1, CAST(floor(0.25 * fps + 0.5) AS BIGINT)))) AS i
+  ) ri
+),
+px AS (
+  SELECT media_id, frame_idx, n_frames, fps, w, h, j,
+    (strpos('0123456789abcdef',
+            substr(md5('42|y4m|' || media_id || '|' || ((frame_idx * w * h * 3 + j) // 16)),
+                   (((frame_idx * w * h * 3 + j) % 16) * 2) + 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef',
+              substr(md5('42|y4m|' || media_id || '|' || ((frame_idx * w * h * 3 + j) // 16)),
+                     (((frame_idx * w * h * 3 + j) % 16) * 2) + 2, 1)) - 1) AS val
+  FROM idx, LATERAL (SELECT unnest(range(0, CAST(w AS BIGINT) * h * 3)) AS j) rj
+)
+SELECT media_id, frame_idx,
+  round(CAST(frame_idx AS DOUBLE) / fps, 6) AS frame_ts,
+  n_frames, fps, w, h,
+  CAST(sum(CASE WHEN j < w*h THEN val END) AS BIGINT) AS y_sum,
+  CAST(sum(CASE WHEN j >= w*h AND j < 2*w*h THEN val END) AS BIGINT) AS u_sum,
+  CAST(sum(CASE WHEN j >= 2*w*h THEN val END) AS BIGINT) AS v_sum,
+  CAST(sum((j + 1) * val) AS BIGINT) AS checksum
+FROM px GROUP BY media_id, frame_idx, n_frames, fps, w, h
 """
 
 ORACLE["text_stats"] = r"""

@@ -14,11 +14,12 @@ reconstructed; stdlib ``zlib`` is the inflater, the unfilter loop is ours)
 RIFF/WAVE PCM-16 parsing via ``struct`` + ``np.frombuffer``.
 ``generate_images`` / ``audio_from_ids`` mint valid files of every format
 deterministically, so both decoders are driver-oracled against an
-INDEPENDENT arithmetic derivation of the payload stream. What still needs
-codec libraries absent from this container: JPEG (DCT) and video —
-``decode_features`` is the documented deterministic byte-level stand-in,
-and ``sample_video_frames`` raises with its intended signature documented.
-Swapping in PIL/pyav changes one kernel body, nothing structural.
+INDEPENDENT arithmetic derivation of the payload stream. ``sample_video_frames`` walks real YUV4MPEG2 (.y4m) streams — the
+uncompressed video interchange format — with frame-domain stride sampling.
+What still needs codec libraries absent from this container: JPEG (DCT)
+and compressed video (mp4/webm) — ``decode_features`` is the documented
+deterministic byte-level stand-in for those. Swapping in PIL/pyav changes
+one kernel body, nothing structural.
 """
 
 from __future__ import annotations
@@ -32,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -582,13 +584,149 @@ def decode_audio(media: DataFrame, on_error: str = "raise") -> DataFrame:
     return media.select("media_id", "media").mapInPandas(kernel, schema=AUDIO_SCHEMA)
 
 
-def sample_video_frames(media: DataFrame, every_n_seconds: float) -> DataFrame:
-    """Sample frames from video payloads.
+def _video_frame_count(mid: int) -> int:
+    return 4 + (mid % 5) * 2
 
-    NOT IMPLEMENTED in this container: requires ffmpeg/pyav. Intended:
-    mapInPandas kernel, output (media_id LONG, frame_ts DOUBLE, frame BINARY).
-    """
-    raise NotImplementedError("video frame sampling requires pyav/ffmpeg — not available")
+
+def _video_fps(mid: int) -> int:
+    return 5 * (1 + mid % 3)
+
+
+def _encode_y4m(w: int, h: int, fps: int, frames: bytes) -> bytes:
+    """Minimal spec-valid YUV4MPEG2 stream: plain-text stream header, then
+    per frame a ``FRAME\\n`` marker + raw 4:4:4 planes (Y, U, V — w*h bytes
+    each). C444 keeps plane geometry trivial; the chroma-subsampled
+    variants are a plane-size change, not a structural one."""
+    n = w * h * 3
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()
+    return hdr + b"".join(
+        b"FRAME\n" + frames[i : i + n] for i in range(0, len(frames), n)
+    )
+
+
+def videos_from_ids(ids: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic REAL video table keyed by an ``id`` column: valid
+    YUV4MPEG2 (.y4m) streams — the uncompressed interchange format every
+    ffmpeg/mplayer accepts — with per-id frame count and frame rate, plane
+    bytes the md5 stream of ``f"{seed}|y4m|{id}|{k}"``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = image_dims(mid)
+                nf, fps = _video_frame_count(mid), _video_fps(mid)
+                total = nf * w * h * 3
+                buf = b""
+                k = 0
+                while len(buf) < total:
+                    buf += hashlib.md5(f"{seed}|y4m|{mid}|{k}".encode()).digest()
+                    k += 1
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media": _encode_y4m(w, h, fps, buf[:total]),
+                        "mime": "video/x-yuv4mpeg",
+                        "meta": {"w": str(w), "h": str(h), "fps": str(fps),
+                                 "frames": str(nf), "seed": str(seed)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "media", "mime", "meta"])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts", DoubleType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("planes", ArrayType(FloatType())),
+    ]
+)
+
+
+def _parse_y4m(payload: bytes):
+    """YUV4MPEG2 header + FRAME walk. Scope: C444 (or absent C tag defaults
+    to 420 → rejected — honest, not silent garbage), integer frame rate.
+    Returns (w, h, fps, frames: np.uint8[n_frames, 3*w*h])."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    eol = payload.index(b"\n")
+    w = h = fps_num = fps_den = None
+    colorspace = "C420"  # spec default when the C tag is absent
+    for tok in payload[9:eol].split():
+        t = tok.decode()
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif t[0] == "C":
+            colorspace = t
+    if not w or not h or not fps_num:
+        raise ValueError("Y4M header missing W/H/F")
+    if colorspace != "C444":
+        raise ValueError(f"unsupported Y4M colorspace {colorspace} (need C444)")
+    if fps_den != 1:
+        raise ValueError(f"unsupported non-integer frame rate F{fps_num}:{fps_den}")
+    n = w * h * 3
+    frames, pos = [], eol + 1
+    while pos < len(payload):
+        fe = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        pos = fe + 1
+        if pos + n > len(payload):
+            raise ValueError("Y4M truncated frame")
+        frames.append(np.frombuffer(payload, np.uint8, n, pos))
+        pos += n
+    return w, h, fps_num, np.stack(frames) if frames else np.zeros((0, n), np.uint8)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n_seconds: float, on_error: str = "raise"
+) -> DataFrame:
+    """REAL video frame sampling for YUV4MPEG2 (.y4m) payloads — the
+    uncompressed format a pure numpy/stdlib kernel can walk; compressed
+    containers (mp4/webm) still need pyav/ffmpeg and raise (or skip).
+
+    Samples every ``max(1, floor(every_n_seconds * fps + 0.5))``-th frame
+    (frame-domain stride — half-up rounding, NOT banker's, so external
+    engines replay the stride exactly). One output row per sampled frame:
+    (media_id, frame_idx, frame_ts = idx/fps, n_frames, fps, w, h,
+    planes ARRAY<FLOAT> = raw Y,U,V 4:4:4 bytes). Arrow ``mapInPandas``,
+    same distributed shape as ``decode_image``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, fps, frames = _parse_y4m(payload)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                step = max(1, int(every_n_seconds * fps + 0.5))
+                for idx in range(0, len(frames), step):
+                    out.append(
+                        (int(mid), idx, float(idx) / fps, len(frames), fps, w, h,
+                         frames[idx].astype("float32").tolist())
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "media").mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

@@ -182,6 +182,53 @@ def test_decode_audio_roundtrip_exact(spark):
         assert [int(v) for v in r.samples] == want, mid
 
 
+def test_sample_video_frames_exact(spark):
+    """Y4M walk: generated streams parse back to the exact per-frame plane
+    bytes; stride sampling = every max(1, floor(every*fps + 0.5)) frames."""
+    import hashlib
+
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        _video_fps,
+        _video_frame_count,
+        image_dims,
+        sample_video_frames,
+        videos_from_ids,
+    )
+
+    media = videos_from_ids(spark.range(9), seed=13)
+    rows = {}
+    for r in sample_video_frames(media, every_n_seconds=0.25).collect():
+        rows.setdefault(r.media_id, {})[r.frame_idx] = r
+    for mid in range(9):
+        w, h = image_dims(mid)
+        nf, fps = _video_frame_count(mid), _video_fps(mid)
+        step = max(1, int(0.25 * fps + 0.5))
+        want_idx = list(range(0, nf, step))
+        assert sorted(rows[mid]) == want_idx, mid
+        total = nf * w * h * 3
+        buf = b""
+        k = 0
+        while len(buf) < total:
+            buf += hashlib.md5(f"13|y4m|{mid}|{k}".encode()).digest()
+            k += 1
+        for idx in want_idx:
+            r = rows[mid][idx]
+            assert (r.n_frames, r.fps, r.w, r.h) == (nf, fps, w, h)
+            assert abs(r.frame_ts - idx / fps) < 1e-12
+            want = list(buf[idx * w * h * 3 : (idx + 1) * w * h * 3])
+            assert [int(v) for v in r.planes] == want, (mid, idx)
+
+
+def test_sample_video_frames_on_error(spark):
+    from extremexp_knowledge_graph_spark.operators.multimodal import sample_video_frames
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x18ftypmp42 not parseable"))],
+        ["media_id", "media"],
+    )
+    assert sample_video_frames(bad, 1.0, on_error="skip").count() == 0
+
+
 def test_decode_audio_on_error(spark):
     from extremexp_knowledge_graph_spark.operators.multimodal import decode_audio
 
