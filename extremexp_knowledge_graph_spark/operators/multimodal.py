@@ -654,7 +654,8 @@ VIDEO_FRAME_SCHEMA = StructType(
 def _parse_y4m(payload: bytes):
     """YUV4MPEG2 header + FRAME walk. Scope: C444 (or absent C tag defaults
     to 420 → rejected — honest, not silent garbage), integer frame rate.
-    Returns (w, h, fps, frames: np.uint8[n_frames, 3*w*h])."""
+    Returns (w, h, fps, frames: list of zero-copy np.uint8 views, one
+    per frame, each 3*w*h bytes)."""
     import numpy as np
 
     if not payload.startswith(b"YUV4MPEG2"):
@@ -690,7 +691,10 @@ def _parse_y4m(payload: bytes):
             raise ValueError("Y4M truncated frame")
         frames.append(np.frombuffer(payload, np.uint8, n, pos))
         pos += n
-    return w, h, fps_num, np.stack(frames) if frames else np.zeros((0, n), np.uint8)
+    # zero-copy views into the payload — the caller strides BEFORE copying,
+    # so an hour-long stream sampled every N seconds never materializes the
+    # unsampled frames
+    return w, h, fps_num, frames
 
 
 def sample_video_frames(
