@@ -425,6 +425,32 @@ def _q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """The decode+resize path: same three-format image table, decoded with
+    nearest-neighbor resize to 3x2. The oracle replays the index gather —
+    output pixel (r,c) reads source pixel ((r*src_h)//2, (c*src_w)//3) —
+    directly against the md5 pixel formula, so a kernel that resizes after
+    a wrong decode, or gathers with round instead of floor, fails."""
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        decode_image,
+        images_from_ids,
+    )
+
+    media = images_from_ids(_docs(spark, sf_dir).select(F.col("doc_id").alias("id")))
+    dec = decode_image(media, width=3, height=2)
+    px = dec.select("media_id", "fmt", "src_w", "src_h", F.posexplode("pixels").alias("j", "v"))
+    return px.groupBy("media_id", "fmt", "src_w", "src_h").agg(
+        F.count("*").cast("long").alias("n_px"),
+        F.round(F.sum(F.when(F.col("j") % 3 == 0, F.col("v"))).cast("double") / 6, 6).alias("mean_r"),
+        F.round(F.sum(F.when(F.col("j") % 3 == 2, F.col("v"))).cast("double") / 6, 6).alias("mean_b"),
+        F.sum((F.col("j") + 1) * F.col("v").cast("long")).cast("long").alias("checksum"),
+    ).select(
+        "media_id", "fmt",
+        F.col("src_w").cast("int").alias("src_w"), F.col("src_h").cast("int").alias("src_h"),
+        "n_px", "mean_r", "mean_b", "checksum",
+    )
+
+
 def _q_multimodal_audio(spark, sf_dir):
     """REAL audio decode (operators/multimodal.py::decode_audio): documents'
     doc_ids mint valid mono PCM-16 WAV files (samples = md5 stream read as
@@ -872,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_video": _q_multimodal_video,
+        "multimodal_resize": _q_multimodal_resize,
         "text_stats": _q_text_stats,
         "text_topk_per_lang": _q_text_topk_per_lang,
         "text_token_counts": _q_text_token_counts,
@@ -1488,6 +1515,38 @@ SELECT media_id, sample_rate, n_samples,
   CAST(sum(CASE WHEN prev IS NOT NULL AND ((v < 0) != (prev < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS sign_flips,
   round(CAST(sum(v) AS DOUBLE) / n_samples, 6) AS mean_amp
 FROM s2 GROUP BY media_id, sample_rate, n_samples
+"""
+
+# Resize replay: output (3x2) pixel j → (r, c, ch) → source pixel via the
+# same floor-division gather the kernel uses → md5 stream byte. Src dims
+# from the image_dims formula.
+ORACLE["multimodal_resize"] = r"""
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         CAST(2 + (doc_id % 3) AS INTEGER) AS src_w,
+         CAST(2 + ((doc_id * 7) % 3) AS INTEGER) AS src_h,
+         CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt
+  FROM documents
+),
+px AS (
+  SELECT media_id, fmt, src_w, src_h, j,
+    3 * (((j // 9) * src_h // 2) * src_w + ((j % 9) // 3) * src_w // 3) + (j % 3) AS p
+  FROM meta, LATERAL (SELECT unnest(range(0, 18)) AS j) rj
+),
+v AS (
+  SELECT media_id, fmt, src_w, src_h, j,
+    (strpos('0123456789abcdef',
+            substr(md5('42|' || media_id || '|' || (p // 16)), ((p % 16) * 2) + 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef',
+              substr(md5('42|' || media_id || '|' || (p // 16)), ((p % 16) * 2) + 2, 1)) - 1) AS val
+  FROM px
+)
+SELECT media_id, fmt, src_w, src_h,
+  CAST(count(*) AS BIGINT) AS n_px,
+  round(CAST(sum(CASE WHEN j % 3 = 0 THEN val END) AS DOUBLE) / 6, 6) AS mean_r,
+  round(CAST(sum(CASE WHEN j % 3 = 2 THEN val END) AS DOUBLE) / 6, 6) AS mean_b,
+  CAST(sum((j + 1) * val) AS BIGINT) AS checksum
+FROM v GROUP BY media_id, fmt, src_w, src_h
 """
 
 # Independent plane derivation for Y4M frame sampling: byte p of media id's
