@@ -254,6 +254,16 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+import struct as _struct
+import zlib as _zlib
+
+# every malformed-payload shape a hostile corpus can throw at the codec
+# kernels: bad magic/params (ValueError), truncated headers (struct.error /
+# IndexError), corrupt DEFLATE streams (zlib.error), missing markers
+# (ValueError from bytes.index)
+_DECODE_ERRORS = (ValueError, IndexError, _struct.error, _zlib.error)
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -449,7 +459,7 @@ def decode_image(
                         sw, sh, arr = _decode_png(payload)
                     else:
                         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
-                except ValueError:
+                except _DECODE_ERRORS:
                     if on_error == "skip":
                         continue
                     raise
@@ -571,7 +581,7 @@ def decode_audio(media: DataFrame, on_error: str = "raise") -> DataFrame:
                 payload = bytes(payload) if payload is not None else b""
                 try:
                     sr, ch, samples = _decode_wav(payload)
-                except ValueError:
+                except _DECODE_ERRORS:
                     if on_error == "skip":
                         continue
                     raise
@@ -718,7 +728,7 @@ def sample_video_frames(
                 payload = bytes(payload) if payload is not None else b""
                 try:
                     w, h, fps, frames = _parse_y4m(payload)
-                except ValueError:
+                except _DECODE_ERRORS:
                     if on_error == "skip":
                         continue
                     raise

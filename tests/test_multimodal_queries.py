@@ -238,6 +238,38 @@ def test_decode_audio_on_error(spark):
     assert decode_audio(bad, on_error="skip").count() == 0
 
 
+def test_truncated_payloads_skip_cleanly(spark):
+    """Corruption beyond a bad magic — truncated chunks (struct.error),
+    corrupt DEFLATE (zlib.error) — must also honor on_error='skip', and
+    valid rows in the same batch still decode."""
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        _encode_png,
+        _encode_wav,
+        _image_pixel_stream,
+        decode_audio,
+        decode_image,
+    )
+
+    good_png = _encode_png(2, 2, _image_pixel_stream(1, 1, 12))
+    trunc_png = good_png[:20]                       # mid-IHDR: struct.error
+    rot_idat = bytearray(good_png)
+    rot_idat[45] ^= 0xFF                            # inside IDAT: CRC ValueError
+    imgs = spark.createDataFrame(
+        [(0, bytearray(good_png)), (1, bytearray(trunc_png)), (2, bytes(rot_idat))],
+        ["media_id", "media"],
+    )
+    ok = decode_image(imgs, on_error="skip").collect()
+    assert [r.media_id for r in ok] == [0]
+
+    good_wav = _encode_wav(8000, b"\x01\x00" * 8)
+    trunc_wav = good_wav[:24]                       # mid-fmt chunk: struct.error
+    auds = spark.createDataFrame(
+        [(0, bytearray(good_wav)), (1, bytearray(trunc_wav))], ["media_id", "media"]
+    )
+    ok = decode_audio(auds, on_error="skip").collect()
+    assert [r.media_id for r in ok] == [0]
+
+
 def test_decode_image_resize_nearest(spark):
     """Nearest-neighbor resize: output dims honored; each output pixel is
     the source pixel at floor(dst*src/out)."""
