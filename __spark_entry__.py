@@ -865,6 +865,56 @@ def _q_sql_sales_rollup(spark, sf_dir):
     )
 
 
+def _q_text_chunks(spark, sf_dir):
+    """Sliding-window chunking (operators/chunking.py): 40-token windows
+    every 24 tokens — the tokenize→window→stride packing step; fully
+    native expressions, replayed with list_slice windows in DuckDB."""
+    from extremexp_knowledge_graph_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=40, stride=24)
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py) via Spark's native
+    session_window; the oracle replays the merge semantics relationally
+    (lag → break at gap >= 30min → running sum → group), pinning the
+    half-open boundary (an event exactly at the previous window's end
+    starts a NEW session) and end = last_event + gap."""
+    from extremexp_knowledge_graph_spark.operators.sessions import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(e, gap="30 minutes", value_col="value")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events", "sum_value",
+    )
+
+
+def _q_kg_degree_topk(spark, sf_dir):
+    """Per-node degree centrality over the full constructed triple set
+    (plans/queries.py::degree_topk); same triple universe as
+    kg_pred_counts, so the oracle swaps only the final aggregate."""
+    from extremexp_knowledge_graph_spark.operators.pattern_extract import (
+        gazetteer_mentions,
+        line_triples,
+        svo_triples,
+    )
+    from extremexp_knowledge_graph_spark.plans.queries import degree_topk
+    from extremexp_knowledge_graph_spark.schema import TRIPLE_KEY
+
+    docs = _docs(spark, sf_dir)
+    svo_docs = docs.withColumn("text", F.replace(F.col("text"), F.lit(" the "), F.lit(" is ")))
+    t = (
+        line_triples(docs)
+        .unionByName(svo_triples(svo_docs))
+        .unionByName(gazetteer_mentions(docs, DOC_GAZETTEER))
+        .dropDuplicates(TRIPLE_KEY)
+    )
+    return degree_topk(t, k=20)
+
+
 def _q_events_hourly(spark, sf_dir):
     """Windowed aggregation shape (streaming-equivalent batch plan)."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -925,6 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_top_customers": _q_sql_top_customers,
         "sql_sales_rollup": _q_sql_sales_rollup,
         "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "text_chunks": _q_text_chunks,
+        "kg_degree_topk": _q_kg_degree_topk,
     }
 
 
@@ -2310,6 +2363,71 @@ select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') as hour, event_type
 from events
 group by 1, 2
 """
+
+
+ORACLE["text_chunks"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS toks,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         CAST(s // 24 AS INTEGER) AS chunk_idx, CAST(s AS BIGINT) AS start_tok
+  FROM t, LATERAL (SELECT unnest(range(0, CAST(n AS BIGINT), 24)) AS s) rs
+  WHERE n > 0
+)
+SELECT doc_id, chunk_idx, start_tok,
+  CAST(len(list_slice(toks, start_tok + 1, least(start_tok + 40, n))) AS BIGINT) AS n_tokens,
+  array_to_string(list_slice(toks, start_tok + 1, least(start_tok + 40, n)), ' ') AS chunk_text
+FROM c
+"""
+
+# Relational replay of Spark session_window merge semantics: break exactly
+# when the inter-event gap EXCEEDS 30min (touching windows merge — an
+# event at precisely prev_ts + gap continues the session; verified against
+# Spark in test_sessionize_gap_semantics); session_end = last event + gap.
+# Microsecond timestamps both sides; value sums in decimal then rounds.
+ORACLE["events_sessions"] = r"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  count(*)::BIGINT AS n_events,
+  round((sum(value::DECIMAL(18,6)))::DOUBLE, 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+# Same triple universe as kg_pred_counts — swap only the final aggregate
+# for per-node degrees (IRIs only on the object side).
+ORACLE["kg_degree_topk"] = ORACLE["kg_pred_counts"].replace(
+    "select pred, count(*)::bigint as n from dedup group by pred",
+    """select node,
+  sum(out_d)::bigint as out_degree,
+  sum(in_d)::bigint as in_degree,
+  (sum(out_d) + sum(in_d))::bigint as degree
+from (
+  select subj as node, 1 as out_d, 0 as in_d from dedup
+  union all
+  select obj, 0, 1 from dedup where obj like 'http://%'
+)
+group by node
+order by degree desc, node
+limit 20""",
+)
 
 
 def oracle_sql() -> dict[str, str]:

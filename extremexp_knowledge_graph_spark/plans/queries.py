@@ -103,3 +103,29 @@ def count_by_class(triples: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("class"))
     )
+
+
+def degree_topk(triples: DataFrame, k: int = 20) -> DataFrame:
+    """Graph-side centrality stats over the KG: per-node out-degree (as
+    subject) + in-degree (as IRI object), top-k by total degree with a
+    total tiebreak order. The reference exposes only whole-graph counts
+    (src/fuseki_client.py:111-132); per-node degrees are the first thing a
+    graph consumer asks next. One union + one hash aggregate + a
+    TakeOrderedAndProject — no full sort at 100 TB."""
+    nodes = triples.select(
+        F.col("subj").alias("node"), F.lit(1).alias("out_d"), F.lit(0).alias("in_d")
+    ).unionByName(
+        triples.where(F.col("obj").startswith("http://")).select(
+            F.col("obj").alias("node"), F.lit(0).alias("out_d"), F.lit(1).alias("in_d")
+        )
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(
+            F.sum("out_d").cast("long").alias("out_degree"),
+            F.sum("in_d").cast("long").alias("in_degree"),
+        )
+        .withColumn("degree", (F.col("out_degree") + F.col("in_degree")).cast("long"))
+        .orderBy(F.desc("degree"), F.asc("node"))
+        .limit(k)
+    )

@@ -1,0 +1,90 @@
+"""Chunking, sessionization, and degree centrality — semantics + plan."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_chunk_documents_window_semantics(spark):
+    from extremexp_knowledge_graph_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),          # 7 tokens
+            (2, "one two"),                 # shorter than the window
+            (3, ""),                        # empty → no chunks
+            (4, "x " * 6),                  # exactly 2*stride tokens
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.start_tok, r.n_tokens, r.chunk_text)
+         for r in chunk_documents(docs, window=4, stride=3).collect())
+    )
+    assert rows == [
+        (1, 0, 0, 4, "a b c d"),
+        (1, 1, 3, 4, "d e f g"),   # overlap of window - stride = 1 token
+        (1, 2, 6, 1, "g"),         # short tail
+        (2, 0, 0, 2, "one two"),
+        (4, 0, 0, 4, "x x x x"),
+        (4, 1, 3, 3, "x x x"),
+    ]
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is a narrow transform: the executed plan must contain no
+    Exchange — at 100 TB it runs scan→project with zero data movement."""
+    from extremexp_knowledge_graph_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_sessionize_gap_semantics(spark):
+    """Session merge boundary, pinned against Spark itself: a gap of
+    exactly `gap` still merges (touching windows), only a strictly larger
+    gap starts a new session; end = last event + gap. The driver oracle's
+    `> INTERVAL` break mirrors exactly this."""
+    from extremexp_knowledge_graph_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    events = spark.createDataFrame(
+        [
+            (1, 10, mins(0), 1.0),
+            (2, 10, mins(29), 2.0),      # 29 < 30 → same session
+            (3, 10, mins(59), 3.0),      # exactly 30 → STILL merges
+            (4, 10, mins(90), 4.0),      # 31 > 30 → new session
+            (5, 20, mins(0), 5.0),       # other user independent
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in sessionize(events, gap="30 minutes", value_col="value").collect()
+    }
+    assert got == {
+        (10, mins(0), mins(89), 3, 6.0),
+        (10, mins(90), mins(120), 1, 4.0),
+        (20, mins(0), mins(30), 1, 5.0),
+    }
+
+
+def test_degree_topk_counts(spark):
+    from extremexp_knowledge_graph_spark.plans.queries import degree_topk
+
+    t = spark.createDataFrame(
+        [
+            ("http://a", "p", "http://b"),
+            ("http://a", "p", "http://c"),
+            ("http://b", "p", "http://a"),
+            ("http://a", "q", "literal value"),  # literal obj: no in-degree
+        ],
+        ["subj", "pred", "obj"],
+    )
+    rows = [(r.node, r.out_degree, r.in_degree, r.degree) for r in degree_topk(t, k=2).collect()]
+    assert rows == [("http://a", 3, 1, 4), ("http://b", 1, 1, 2)]
