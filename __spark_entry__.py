@@ -877,9 +877,10 @@ def _q_text_chunks(spark, sf_dir):
 def _q_events_sessions(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py) via Spark's native
     session_window; the oracle replays the merge semantics relationally
-    (lag → break at gap >= 30min → running sum → group), pinning the
-    half-open boundary (an event exactly at the previous window's end
-    starts a NEW session) and end = last_event + gap."""
+    (lag → break only when the gap STRICTLY exceeds 30min → running sum →
+    group): touching windows merge — an event exactly at the previous
+    window's end continues the session (pinned against Spark in
+    test_sessionize_gap_semantics) — and end = last_event + gap."""
     from extremexp_knowledge_graph_spark.operators.sessions import sessionize
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1098,7 +1099,9 @@ from hits
 # token-sorted left-to-right (Spark: F.aggregate over array_sort(collect_list);
 # DuckDB: list_reduce over list(... ORDER BY tok); 0.0+x==x so the missing
 # init element is exact); tf/df/N are exact ints; idf/norm/cosine are then
-# identical double expressions on both engines. Contexts are single-token, so
+# identical double expressions on both engines. The prior blend uses the
+# EXACT double Spark computes: F.lit(1 - 0.7) is 0.30000000000000004, one
+# ulp above the decimal-nearest 0.3 literal. Contexts are single-token, so
 # their normalized weight replays as w/sqrt(w*w) (NOT hardcoded 1.0 — sqrt of
 # a rounded square can be 1 ulp off 1.0, and both engines must take the same
 # path).
@@ -1144,11 +1147,11 @@ cos AS (
   GROUP BY c.doc_id, c.entity_id
 )
 SELECT doc_id, surface, entity_id,
-       round(0.7 * coalesce(cos, 0.0) + 0.3 * prior, 6) AS score
+       round(0.7 * coalesce(cos, 0.0) + 0.30000000000000004 * prior, 6) AS score
 FROM cand LEFT JOIN cos USING (doc_id, entity_id)
 QUALIFY row_number() OVER (
   PARTITION BY doc_id, surface
-  ORDER BY round(0.7 * coalesce(cos, 0.0) + 0.3 * prior, 6) DESC, entity_id
+  ORDER BY round(0.7 * coalesce(cos, 0.0) + 0.30000000000000004 * prior, 6) DESC, entity_id
 ) = 1
 """
 
@@ -1509,7 +1512,7 @@ ORACLE["multimodal_decode"] = r"""
 WITH meta AS (
   SELECT doc_id AS media_id,
          CAST(2 + (doc_id % 3) AS INTEGER) AS w,
-         CAST(2 + ((doc_id * 7) % 3) AS INTEGER) AS h,
+         CAST(2 + ((doc_id * 5) % 3) AS INTEGER) AS h,
          CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt
   FROM documents
 ),
@@ -1577,7 +1580,7 @@ ORACLE["multimodal_resize"] = r"""
 WITH meta AS (
   SELECT doc_id AS media_id,
          CAST(2 + (doc_id % 3) AS INTEGER) AS src_w,
-         CAST(2 + ((doc_id * 7) % 3) AS INTEGER) AS src_h,
+         CAST(2 + ((doc_id * 5) % 3) AS INTEGER) AS src_h,
          CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt
   FROM documents
 ),
@@ -1612,7 +1615,7 @@ ORACLE["multimodal_video"] = r"""
 WITH meta AS (
   SELECT doc_id AS media_id,
          CAST(2 + (doc_id % 3) AS INTEGER) AS w,
-         CAST(2 + ((doc_id * 7) % 3) AS INTEGER) AS h,
+         CAST(2 + ((doc_id * 5) % 3) AS INTEGER) AS h,
          CAST(4 + (doc_id % 5) * 2 AS INTEGER) AS n_frames,
          CAST(5 * (1 + doc_id % 3) AS INTEGER) AS fps
   FROM documents

@@ -16,8 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# repo-wide tokenization (functions/text.py uses the same class)
-TOKEN_RE = "[a-z0-9]+"
+# the repo-wide tokenizer — imported, not re-declared, so chunk boundaries
+# can never silently diverge from linker/text tokenization
+from extremexp_knowledge_graph_spark.functions.text import TOKEN_RE
 
 
 def chunk_documents(

@@ -182,8 +182,10 @@ def _encode_png(w: int, h: int, rgb: bytes, filter_for_row=None) -> bytes:
 
 
 def image_dims(mid: int) -> tuple[int, int]:
-    """Deterministic small test dimensions per media id (2-4 px per side)."""
-    return 2 + (mid % 3), 2 + ((mid * 7) % 3)
+    """Deterministic small test dimensions per media id (2-4 px per side).
+    The height multiplier must be != 1 (mod 3) or h would always equal w
+    and a row/column transposition bug in any decoder could never show."""
+    return 2 + (mid % 3), 2 + ((mid * 5) % 3)
 
 
 def images_from_ids(ids: DataFrame, seed: int = 42) -> DataFrame:
@@ -557,9 +559,11 @@ def _decode_wav(payload: bytes):
         pos += 8
         if tag == b"fmt ":
             afmt, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", payload, pos)
-            if afmt != 1 or bits != 16:
-                raise ValueError(f"unsupported WAV: format={afmt} bits={bits}")
+            if afmt != 1 or bits != 16 or ch == 0:
+                raise ValueError(f"unsupported WAV: format={afmt} bits={bits} channels={ch}")
         elif tag == b"data":
+            if pos + ln > len(payload):
+                raise ValueError("WAV data chunk truncated")
             data = payload[pos : pos + ln]
         pos += ln + (ln & 1)
     if sr is None or data is None:
@@ -586,7 +590,7 @@ def decode_audio(media: DataFrame, on_error: str = "raise") -> DataFrame:
                         continue
                     raise
                 out.append(
-                    (int(mid), int(sr), int(ch), len(samples) // max(ch, 1),
+                    (int(mid), int(sr), int(ch), len(samples) // ch,
                      samples.astype("float32").tolist())
                 )
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_SCHEMA.fields])

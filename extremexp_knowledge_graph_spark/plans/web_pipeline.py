@@ -65,6 +65,7 @@ into the hot path.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -96,13 +97,19 @@ def _bucketed(
     """Attach the work-partitioning column. Default: uniform url hash.
     ``bucket_expr`` overrides with a deployment-specific key (SQL string or
     Column) — e.g. a crawl-segment id parsed from the url — so concentrated
-    deltas re-open few buckets (see module docstring)."""
+    deltas re-open few buckets (see module docstring). Write parsing casts
+    as ``try_cast`` (ANSI mode makes a plain cast of an unparseable key
+    abort the job — loudly, which beats silence); a NULL result routes to
+    catch-all bucket -1 rather than vanishing."""
     if bucket_expr is None:
         col = F.pmod(F.xxhash64(key), F.lit(n))
-    elif isinstance(bucket_expr, str):
-        col = F.expr(bucket_expr)
     else:
-        col = bucket_expr
+        col = F.expr(bucket_expr) if isinstance(bucket_expr, str) else bucket_expr
+        # A url the expression can't classify must not vanish: NULL fails
+        # every isin() pruning filter downstream (the row would never be
+        # extracted) and NULL partition keys break manifest bookkeeping.
+        # Route unmatched keys to a catch-all bucket instead.
+        col = F.coalesce(col.cast("long"), F.lit(-1))
     return df.withColumn("url_bucket", col)
 
 
@@ -320,6 +327,18 @@ def run_web_pipeline(
             linked = link_mentions(todo, aliases, n_docs=sum(in_counts.values())).join(
                 todo.select("doc_id", "url_bucket"), "doc_id"
             )
+            # Dynamic partition overwrite only replaces partitions that
+            # RECEIVE rows — a re-crawled bucket whose new content has zero
+            # mentions would keep its stale linked rows forever. Clear the
+            # pending partitions first; crash-safe because the manifest row
+            # (written after readback) is the commit point: a crash here
+            # leaves the bucket stale and the next run redoes it. Iceberg
+            # form: REPLACE WHERE url_bucket IN (...), which handles
+            # empty-replacement natively in one snapshot.
+            for k in pend:
+                shutil.rmtree(
+                    os.path.join(linked_path, f"url_bucket={k}"), ignore_errors=True
+                )
             (
                 linked.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -368,12 +387,17 @@ def run_web_pipeline(
                     buckets=[int(k) for k, _ in pend_fp], sigs_path=sigs_path,
                 )
                 wall = int((time.monotonic() - t0) * 1000)
+                # absorb rows are pure bookkeeping (which S2 output the map
+                # has seen) — per-bucket entity counts don't exist here, and
+                # writing the delta TOTAL on every row would inflate any
+                # lineage sum by len(pend_fp); the total goes on one
+                # summary row instead
                 manifest.append_manifest(
                     spark, man,
-                    [{"stage": S3A, "partition_key": k, "input_fingerprint": fp,
-                      "rows_in": n_delta, "rows_out": n_delta,
-                      "wall_ms": wall // max(1, len(pend_fp))}
-                     for k, fp in pend_fp],
+                    [{"stage": S3A, "partition_key": k, "input_fingerprint": fp}
+                     for k, fp in pend_fp]
+                    + [{"stage": S3, "partition_key": "delta",
+                        "rows_in": n_delta, "rows_out": n_delta, "wall_ms": wall}],
                 )
         stats[S3] = {
             "ran": done is not None,
@@ -403,7 +427,6 @@ def run_web_pipeline(
             # default driver heap) — disk staging is the only cache that
             # scales with data, and it doubles as the natural Iceberg
             # staging-table shape on a real deployment.
-            import shutil
 
             staging = f"{out_dir}/_staging_s4"
             _materialize_triples(todo, linked, emap).write.mode("overwrite").parquet(staging)
@@ -500,7 +523,6 @@ def _run_canonicalize_delta(
     new_e = ents.join(emap.select("entity_id"), "entity_id", "left_anti")
     # Stage the delta once (it feeds LSH twice + the final assign); disk
     # staging, same rationale as the S4 batch (kg_store.py merge staging).
-    import shutil
 
     staging = entity_map_path.rstrip("/") + ".delta_staging"
     new_e.write.mode("overwrite").parquet(staging)
@@ -565,7 +587,9 @@ def reconcile_canonicalization(
 
     Idempotent: a second run finds zero moves and touches nothing.
     Incremental ingest continues seamlessly afterwards — adoption joins
-    the NEW map. Returns {"entities", "moves", "rewritten_triples"}.
+    the NEW map. Returns {"entities", "moves", "rewritten_triples"} where
+    rewritten_triples is the post-rewrite store size, counted on the write
+    job itself (Observation — no read-back scan); 0 when no moves.
     """
     man = f"{out_dir}/manifest"
     linked_path = f"{out_dir}/linked"
@@ -589,7 +613,6 @@ def reconcile_canonicalization(
         num_hashes=CANON_NUM_HASHES, bands=CANON_BANDS, shingle_n=CANON_SHINGLE_N,
     )
     # stage the new map once (feeds the diff, the swap, and future reads)
-    import shutil
 
     map_tmp = entity_map_path.rstrip("/") + ".compacting"
     new_map.write.mode("overwrite").parquet(map_tmp)
@@ -631,8 +654,17 @@ def reconcile_canonicalization(
             .drop("new_uri")
         )
         rewritten = t.dropDuplicates(TRIPLE_KEY)
-        kg_store.replace_store(spark, rewritten, store_path, n_buckets)
-        n_rewritten = kg_store.read_triples(spark, store_path).count()
+        # count what the swap writes via an Observation on the write job
+        # itself — a read-back count would be a second full-store scan
+        # spent on a metric
+        from pyspark.sql import Observation
+
+        obs = Observation("reconcile_store")
+        kg_store.replace_store(
+            spark, rewritten.observe(obs, F.count(F.lit(1)).alias("n")),
+            store_path, n_buckets,
+        )
+        n_rewritten = int(obs.get["n"])
     # swap the map + rebuild signatures (same entity set → full rebuild is
     # the honest cost of a reconcile; it is O(entities), not O(corpus))
     map_old = entity_map_path.rstrip("/") + ".old"

@@ -369,6 +369,63 @@ def test_reconcile_converges_to_batch(spark, tmp_path):
     assert linked.join(emap, "entity_id", "left_anti").count() == 0
 
 
+def test_recrawl_to_zero_mentions_clears_linked(spark, tmp_path):
+    """A re-crawl that removes EVERY gazetteer mention from a bucket must
+    clear that bucket's linked rows. Dynamic partition overwrite only
+    replaces partitions that receive rows, so without the explicit
+    pending-partition clear the stale S2 output would survive and keep
+    feeding S4 mentions the current content no longer supports."""
+    out = str(tmp_path / "wp")
+
+    def one_page(body):
+        return spark.createDataFrame(
+            [("https://example.org/solo", f"<html><body><p>{body}</p></body></html>".encode())],
+            ["url", "html"],
+        ).select(
+            "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+            F.lit(None).cast("string").alias("text"), F.lit("en").alias("lang"),
+        )
+
+    wp.run_web_pipeline(spark, one_page("ResNet uses Dropout layers"), out, n_url_buckets=4)
+    from extremexp_knowledge_graph_spark.schema import LINKED_SCHEMA
+
+    assert wp._read_or_empty(spark, f"{out}/linked", LINKED_SCHEMA).count() > 0
+
+    st = wp.run_web_pipeline(
+        spark, one_page("nothing notable remains on this page"), out, n_url_buckets=4
+    )
+    assert st[wp.S2]["pending_buckets"] == 1  # content fp re-opened the bucket
+    assert wp._read_or_empty(spark, f"{out}/linked", LINKED_SCHEMA).count() == 0
+
+
+def test_bucket_expr_null_keys_get_catchall_bucket(spark, tmp_path):
+    """A url the bucket expression can't classify must not vanish: NULL
+    buckets fail every isin() pruning filter and break manifest rows. They
+    route to catch-all bucket -1 and flow through the whole DAG. (try_cast,
+    not cast: under ANSI a plain cast of the unmatched ''-extract aborts
+    the job — loud, but the catch-all needs the NULL to reach it.)"""
+    out = str(tmp_path / "wp")
+    expr = "try_cast(regexp_extract(url, 'seg(\\\\d+)', 1) as bigint)"
+    rows = [
+        ("https://example.org/seg0/p0",
+         b"<html><body><p>ResNet uses weights here</p></body></html>"),
+        ("https://example.org/no-segment/odd",
+         b"<html><body><p>BERT contains layers too</p></body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "html"]).select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+        F.lit(None).cast("string").alias("text"), F.lit("en").alias("lang"),
+    )
+    st = wp.run_web_pipeline(spark, pages, out, bucket_expr=expr)
+    assert st[wp.S1]["pending_buckets"] == 2  # seg0 and the catch-all
+    docs = spark.read.parquet(f"{out}/docs")
+    assert docs.count() == 2
+    assert docs.where(F.col("url_bucket") == -1).count() == 1
+    # resume is a clean no-op for both buckets
+    st2 = wp.run_web_pipeline(spark, pages, out, bucket_expr=expr)
+    assert st2[wp.S1]["pending_buckets"] == 0
+
+
 def test_bucket_expr_segment_granularity(spark, tmp_path):
     """bucket_expr lets the deployment bucket by its real delta granularity:
     with crawl-segment bucketing, dropping one new segment re-opens exactly
