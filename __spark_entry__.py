@@ -425,6 +425,33 @@ def _q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _q_multimodal_gif(spark, sf_dir):
+    """REAL GIF decode through our own LZW (operators/multimodal.py::
+    _decode_gif): grayscale GIF87a files whose pixel indices are the md5
+    stream; decoding maps indices through the identity-gray palette, so
+    RGB pixel j = stream byte j // 3. The oracle derives that byte
+    arithmetically — a decoder that mispacks LZW bit widths, drops the
+    KwKwK case, or miswalks sub-blocks fails the hash."""
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        decode_image,
+        gifs_from_ids,
+    )
+
+    media = gifs_from_ids(_docs(spark, sf_dir).select(F.col("doc_id").alias("id")))
+    dec = decode_image(media)
+    px = dec.select("media_id", "fmt", "w", "h", F.posexplode("pixels").alias("j", "v"))
+    npx = F.col("w") * F.col("h")
+    return px.groupBy("media_id", "fmt", "w", "h").agg(
+        F.count("*").cast("long").alias("n_px"),
+        F.round(F.sum("v").cast("double") / (npx * 3), 6).alias("mean_gray"),
+        F.sum((F.col("j") + 1) * F.col("v").cast("long")).cast("long").alias("checksum"),
+    ).select(
+        "media_id", "fmt",
+        F.col("w").cast("int").alias("w"), F.col("h").cast("int").alias("h"),
+        "n_px", "mean_gray", "checksum",
+    )
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """The decode+resize path: same three-format image table, decoded with
     nearest-neighbor resize to 3x2. The oracle replays the index gather —
@@ -950,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_video": _q_multimodal_video,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_gif": _q_multimodal_gif,
         "text_stats": _q_text_stats,
         "text_topk_per_lang": _q_text_topk_per_lang,
         "text_token_counts": _q_text_token_counts,
@@ -1571,6 +1599,31 @@ SELECT media_id, sample_rate, n_samples,
   CAST(sum(CASE WHEN prev IS NOT NULL AND ((v < 0) != (prev < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS sign_flips,
   round(CAST(sum(v) AS DOUBLE) / n_samples, 6) AS mean_amp
 FROM s2 GROUP BY media_id, sample_rate, n_samples
+"""
+
+# GIF replay: decoded RGB pixel j is the identity-gray palette entry of
+# stream INDEX byte j // 3 (w*h index bytes per image, n_px = w*h pixels
+# exploded to 3 channel values each in the checksum).
+ORACLE["multimodal_gif"] = r"""
+WITH meta AS (
+  SELECT doc_id AS media_id, 'gif' AS fmt,
+         CAST(2 + (doc_id % 3) AS INTEGER) AS w,
+         CAST(2 + ((doc_id * 5) % 3) AS INTEGER) AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, fmt, w, h, j,
+    (strpos('0123456789abcdef',
+            substr(md5('42|' || media_id || '|' || ((j // 3) // 16)), (((j // 3) % 16) * 2) + 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef',
+              substr(md5('42|' || media_id || '|' || ((j // 3) // 16)), (((j // 3) % 16) * 2) + 2, 1)) - 1) AS val
+  FROM meta, LATERAL (SELECT unnest(range(0, CAST(w AS BIGINT) * h * 3)) AS j) rj
+)
+SELECT media_id, fmt, w, h,
+  CAST(count(*) AS BIGINT) AS n_px,
+  round(CAST(sum(val) AS DOUBLE) / (w * h * 3), 6) AS mean_gray,
+  CAST(sum((j + 1) * val) AS BIGINT) AS checksum
+FROM px GROUP BY media_id, fmt, w, h
 """
 
 # Resize replay: output (3x2) pixel j → (r, c, ch) → source pixel via the

@@ -181,6 +181,186 @@ def _encode_png(w: int, h: int, rgb: bytes, filter_for_row=None) -> bytes:
     )
 
 
+def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: CLEAR first, dict grows from EOI+1, code width
+    grows at each power of two up to 12 bits, codes packed LSB-first."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    next_code, width = eoi + 1, min_code_size + 1
+    out_bits, bitbuf, nbits = bytearray(), 0, 0
+
+    def emit(code):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out_bits.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = b""
+    for b in data:
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset (tiny images never reach this)
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            next_code, width = eoi + 1, min_code_size + 1
+        seq = bytes([b])
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        out_bits.append(bitbuf & 0xFF)
+    return bytes(out_bits)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of ``_lzw_encode_gif`` including the KwKwK case (a code one
+    past the table references the just-emitted sequence plus its own first
+    byte)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    width = min_code_size + 1
+    out, prev = bytearray(), None
+    bitbuf, nbits, pos = 0, 0, 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no EOI)")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = table[: eoi + 1]
+            width, prev = min_code_size + 1, None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW bad code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # the decoder's table is one entry BEHIND the encoder's at the
+            # moment it reads each code (it reconstructs entry i-1 from
+            # code i), so it must widen one entry early
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def _encode_gif(w: int, h: int, indices: bytes) -> bytes:
+    """Minimal spec-valid GIF87a: grayscale 256-entry global color table
+    (palette[i] = (i,i,i)), one non-interlaced image, LZW-compressed pixel
+    indices in 255-byte sub-blocks."""
+    import struct
+
+    gct = b"".join(bytes([i, i, i]) for i in range(256))
+    out = b"GIF87a" + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0) + gct
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_encode_gif(indices)
+    out += bytes([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out += bytes([len(block)]) + block
+    return out + b"\x00\x3b"
+
+
+def _decode_gif(payload: bytes):
+    """GIF87a/89a: logical screen descriptor + global color table, skips
+    extension blocks, decodes the first non-interlaced image's LZW indices
+    and maps them through the palette to RGB. Interlaced images and local
+    color tables raise — honest scope."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"GIF8":
+        raise ValueError("not a GIF")
+    sw, sh, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _, _, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if ipacked & 0x80:
+                raise ValueError("local color table unsupported")
+            if gct is None:
+                raise ValueError("GIF missing global color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decode_gif(bytes(lzw), min_code), np.uint8, w * h
+            )
+            return w, h, gct[idx].reshape(h, w, 3)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image")
+
+
+def gifs_from_ids(ids: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic REAL GIF table: grayscale GIF87a whose pixel INDICES
+    are the md5 stream (w*h bytes) through the identity-gray palette —
+    decoded RGB is each stream byte tripled, so the driver oracle derives
+    pixel j as stream byte j // 3."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = image_dims(mid)
+                idx = _image_pixel_stream(seed, mid, w * h)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media": _encode_gif(w, h, idx),
+                        "mime": "image/gif",
+                        "meta": {"w": str(w), "h": str(h), "seed": str(seed)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "media", "mime", "meta"])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def image_dims(mid: int) -> tuple[int, int]:
     """Deterministic small test dimensions per media id (2-4 px per side).
     The height multiplier must be != 1 (mod 3) or h would always equal w
@@ -459,6 +639,9 @@ def decode_image(
                     elif payload[:8] == _PNG_MAGIC:
                         fmt = "png"
                         sw, sh, arr = _decode_png(payload)
+                    elif payload[:4] == b"GIF8":
+                        fmt = "gif"
+                        sw, sh, arr = _decode_gif(payload)
                     else:
                         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
                 except _DECODE_ERRORS:

@@ -153,6 +153,49 @@ def test_png_all_filters_roundtrip():
     assert np.array_equal(arr, want)
 
 
+def test_gif_lzw_roundtrip():
+    """Our GIF LZW: variable-width codes (bumps at every power of two up
+    to 12 bits), KwKwK, and the 4096-entry table reset must all roundtrip."""
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        _image_pixel_stream,
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    cases = [
+        b"",
+        b"\x00",
+        b"aaaaaaaa",                       # KwKwK immediately
+        b"abcabcabcabc",
+        bytes(range(256)) * 3,             # crosses the 9->10 bit boundary
+        b"\x07" * 1000,                    # long single-symbol run
+        _image_pixel_stream(3, 9, 20000),  # incompressible: full table + reset
+    ]
+    for data in cases:
+        assert _lzw_decode_gif(_lzw_encode_gif(data)) == data, len(data)
+
+
+def test_decode_gif_exact(spark):
+    """GIF87a through Spark: pixel indices (md5 stream) map through the
+    identity-gray palette; decoded RGB = each index byte tripled."""
+    import numpy as np
+
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        _image_pixel_stream,
+        decode_image,
+        gifs_from_ids,
+        image_dims,
+    )
+
+    rows = {r.media_id: r for r in decode_image(gifs_from_ids(spark.range(9), seed=7)).collect()}
+    for mid in range(9):
+        w, h = image_dims(mid)
+        idx = np.frombuffer(_image_pixel_stream(7, mid, w * h), np.uint8)
+        r = rows[mid]
+        assert (r.fmt, r.w, r.h) == ("gif", w, h)
+        assert [int(v) for v in r.pixels] == np.repeat(idx, 3).tolist(), mid
+
+
 def test_decode_audio_roundtrip_exact(spark):
     """WAV PCM-16 decode: generated files parse back to the exact int16
     sample stream (little-endian, signed), with rate/count metadata."""
