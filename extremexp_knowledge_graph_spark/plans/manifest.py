@@ -5,7 +5,7 @@ extremexp_kg_matic/src/file_watcher.py:20,124) and its in-memory metrics
 collector (src/monitoring.py:91-148) with a durable manifest table:
 
     manifest(stage, partition_key, input_fingerprint, rows_in, rows_out,
-             wall_ms, status, ts)
+             wall_ms, status, ts, seq)
 
 Resume = anti-join pending inputs against completed manifest rows, so a
 restarted run recomputes nothing that finished — the north rule's
@@ -15,6 +15,7 @@ restarted run recomputes nothing that finished — the north rule's
 from __future__ import annotations
 
 import datetime as dt
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,6 +70,65 @@ def compact_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
     return files_before, len(glob.glob(os.path.join(path, "*.parquet")))
 
 
+def prune_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Retention compaction: keep only the LATEST row (by ts, seq) per
+    (stage, partition_key, status), rewritten as one file.
+
+    The manifest is append-only, so a long-lived minute-trigger deployment
+    grows it by stages × buckets rows per trigger even when nothing is
+    pending. Every consumer windows to the latest row: ``pending_keys`` /
+    ``stale_keys`` / ``latest_outputs`` use the latest *done* row per key,
+    ``run_stage`` asks "any done row", and ``reconcile_pending`` asks for
+    the latest row across statuses — keeping the newest row of EACH status
+    preserves all four exactly (a superseded 'started' never shadows a
+    'done', and a crash's dangling 'started' survives pruning). Row count
+    after = |distinct (stage, key, status)|, bounded regardless of trigger
+    count. Same two-rename swap discipline as ``kg_store.compact``.
+    Returns (rows_before, rows_after).
+    """
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from extremexp_knowledge_graph_spark.plans.kg_store import _recover_interrupted_compact
+
+    _recover_interrupted_compact(path)
+    if not glob.glob(os.path.join(path, "*.parquet")):
+        return 0, 0
+    df = spark.read.parquet(path)
+    rows_before = df.count()
+    w = Window.partitionBy("stage", "partition_key", "status").orderBy(
+        F.desc("ts"), F.desc_nulls_last("seq") if "seq" in df.columns else F.desc("ts")
+    )
+    kept = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    tmp = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return rows_before, rows_after
+
+
+_seq_lock = threading.Lock()
+_last_seq = 0
+
+
+def _next_seq() -> int:
+    """Process-monotonic append sequence: strictly increasing even when two
+    appends share a wall-clock microsecond, and never retrograde under clock
+    adjustment (wall-clock ns is only a floor). Latest-row selection orders
+    by (ts, seq) so it is total-ordered independent of clock resolution."""
+    global _last_seq
+    with _seq_lock:
+        _last_seq = max(_last_seq + 1, time.time_ns())
+        return _last_seq
+
+
 def append_manifest(spark: SparkSession, path: str, rows: list[dict]) -> None:
     now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     full = [
@@ -82,6 +142,7 @@ def append_manifest(spark: SparkSession, path: str, rows: list[dict]) -> None:
             "wall_ms": r.get("wall_ms"),
             "status": r.get("status", "done"),
             "ts": r.get("ts", now),
+            "seq": _next_seq(),
         }
         for r in rows
     ]
@@ -109,7 +170,11 @@ def pending_keys(spark: SparkSession, manifest_path: str, stage: str, keys: Data
         .where((F.col("stage") == stage) & (F.col("status") == "done"))
         .withColumn(
             "_rn",
-            F.row_number().over(Window.partitionBy("partition_key").orderBy(F.desc("ts"))),
+            F.row_number().over(
+                Window.partitionBy("partition_key").orderBy(
+                    F.desc("ts"), F.desc_nulls_last("seq")
+                )
+            ),
         )
         .where(F.col("_rn") == 1)
         .select("partition_key", "input_fingerprint")
@@ -147,7 +212,7 @@ def stale_keys(
     from pyspark.sql.window import Window
 
     man = read_manifest(spark, manifest_path).where(F.col("status") == "done")
-    w = Window.partitionBy("partition_key").orderBy(F.desc("ts"))
+    w = Window.partitionBy("partition_key").orderBy(F.desc("ts"), F.desc_nulls_last("seq"))
     latest_up = (
         man.where(F.col("stage") == upstream_stage)
         .withColumn("_rn", F.row_number().over(w))
@@ -184,7 +249,7 @@ def latest_outputs(spark: SparkSession, manifest_path: str, stage: str) -> dict[
     man = read_manifest(spark, manifest_path).where(
         (F.col("status") == "done") & (F.col("stage") == stage)
     )
-    w = Window.partitionBy("partition_key").orderBy(F.desc("ts"))
+    w = Window.partitionBy("partition_key").orderBy(F.desc("ts"), F.desc_nulls_last("seq"))
     rows = (
         man.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

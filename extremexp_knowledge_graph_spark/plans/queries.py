@@ -111,11 +111,16 @@ def degree_topk(triples: DataFrame, k: int = 20) -> DataFrame:
     total tiebreak order. The reference exposes only whole-graph counts
     (src/fuseki_client.py:111-132); per-node degrees are the first thing a
     graph consumer asks next. One union + one hash aggregate + a
-    TakeOrderedAndProject — no full sort at 100 TB."""
+    TakeOrderedAndProject — no full sort at 100 TB.
+
+    Object-side nodes are selected by the triple relation's explicit
+    ``obj_is_iri`` flag (part of TRIPLE_KEY), not a scheme prefix: https
+    IRIs count toward in-degree and literals that merely start with
+    ``http://`` do not."""
     nodes = triples.select(
         F.col("subj").alias("node"), F.lit(1).alias("out_d"), F.lit(0).alias("in_d")
     ).unionByName(
-        triples.where(F.col("obj").startswith("http://")).select(
+        triples.where(F.col("obj_is_iri").cast("boolean")).select(
             F.col("obj").alias("node"), F.lit(0).alias("out_d"), F.lit(1).alias("in_d")
         )
     )

@@ -277,6 +277,14 @@ def run_web_pipeline(
     aliases = aliases if aliases is not None else default_aliases(spark)
     stats: dict[str, dict] = {}
 
+    # crash-healing: a reconcile that rewrote the store to NEW canonicals
+    # but died before the map swap would make S4 materialize mentions under
+    # OLD canonicals, re-introducing merged-away IRIs. Detect the
+    # started-without-done marker and redo the idempotent migration before
+    # any stage reads the mismatched store/map pair.
+    if reconcile_pending(spark, out_dir):
+        reconcile_canonicalization(spark, out_dir)
+
     # ---- S1 EXTRACT: pages → docs(url, doc_id, text, lang, url_bucket) ----
     # Pending buckets are written with DYNAMIC partition overwrite, not
     # append: a crash between the parquet write and the manifest _record()
@@ -556,6 +564,24 @@ def _run_canonicalize_delta(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def reconcile_pending(spark: SparkSession, out_dir: str) -> bool:
+    """True when the latest ``s3_reconcile`` manifest row is ``started`` —
+    a reconcile began mutating the store/map pair and never recorded done
+    (crash between ``replace_store`` and the entity-map swap). The redo is
+    ``reconcile_canonicalization`` itself: re-clustering is deterministic,
+    so the recomputed moves are a no-op against an already-rewritten store
+    and the map swap completes the interrupted migration."""
+    rows = (
+        manifest.read_manifest(spark, f"{out_dir}/manifest")
+        .where(F.col("stage") == "s3_reconcile")
+        .orderBy(F.desc("ts"), F.desc_nulls_last("seq"))
+        .select("status")
+        .limit(1)
+        .collect()
+    )
+    return bool(rows) and rows[0].status == "started"
+
+
 def reconcile_canonicalization(
     spark: SparkSession, out_dir: str, n_buckets: int = kg_store.DEFAULT_BUCKETS
 ) -> dict:
@@ -630,6 +656,15 @@ def reconcile_canonicalization(
     )
     n_moves = moves.count()
     n_rewritten = 0
+    # crash-atomicity across the two live artifacts (store rewrite, then
+    # map/sigs swap): record 'started' BEFORE the first mutation. A crash
+    # anywhere in the window leaves started-without-done in the manifest;
+    # reconcile_pending() detects it and run_web_pipeline redoes this
+    # (idempotent) migration before any stage reads the mismatched pair.
+    manifest.append_manifest(
+        spark, man,
+        [{"stage": "s3_reconcile", "partition_key": "global", "status": "started"}],
+    )
     if n_moves and os.path.isdir(store_path):
         mv = moves.select(
             F.concat(F.lit(EX2 + "Entity_"), F.col("old_c")).alias("old_uri"),

@@ -188,5 +188,9 @@ MANIFEST_SCHEMA = StructType(
         StructField("wall_ms", LongType()),
         StructField("status", StringType()),
         StructField("ts", TimestampType()),
+        # monotonic append sequence: latest-row selection tiebreak when two
+        # appends land in the same wall-clock microsecond (or the clock steps
+        # backwards). NULL on legacy rows; ordering puts NULLs last.
+        StructField("seq", LongType()),
     ]
 )

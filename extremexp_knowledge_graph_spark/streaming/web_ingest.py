@@ -27,7 +27,8 @@ and streaming ingestion of the same pages produce identical stores
 Small files: each touched-bucket rewrite repartitions by bucket, so a
 bucket's partition holds ONE file regardless of how many triggers touched
 it — the pages table self-compacts and the file count is bounded by the
-bucket count (asserted by test_streaming_pages_bounded_files).
+bucket count (asserted by
+tests/test_incremental_v2.py::test_streaming_recrawl_and_bounded_files).
 
 ``trigger=availableNow`` drains what is present then stops (A6 backfill /
 test mode); omit for the continuous watcher (A5).
@@ -53,11 +54,17 @@ def stream_pages_pipeline(
     available_now: bool = True,
     max_files_per_trigger: int = 64,
     bucket_expr=None,
+    manifest_prune_every: int = 16,
 ):
     """Watch ``input_dir`` for pages parquet drops; keep ``out_dir`` (docs/
     linked/entity_map/entity_sigs/triples/manifest + the cumulative
     bucket-partitioned ``pages`` table) up to date incrementally. Returns
-    the StreamingQuery."""
+    the StreamingQuery.
+
+    Every ``manifest_prune_every`` micro-batches the manifest is rewritten
+    keep-latest-row-per-(stage, key, status) (``manifest.prune_manifest``)
+    so a long-lived minute-trigger deployment's bookkeeping stays bounded
+    instead of growing stages × buckets rows per trigger. 0 disables."""
     pages_path = f"{out_dir}/pages"
     raw = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -104,6 +111,10 @@ def stream_pages_pipeline(
             n_url_buckets=n_url_buckets,
             bucket_expr=bucket_expr,
         )
+        if manifest_prune_every and batch_id % manifest_prune_every == manifest_prune_every - 1:
+            from extremexp_knowledge_graph_spark.plans.manifest import prune_manifest
+
+            prune_manifest(spark, f"{out_dir}/manifest")
 
     writer = (
         raw.writeStream.foreachBatch(process_batch)

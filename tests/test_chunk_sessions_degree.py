@@ -77,14 +77,31 @@ def test_sessionize_gap_semantics(spark):
 def test_degree_topk_counts(spark):
     from extremexp_knowledge_graph_spark.plans.queries import degree_topk
 
+    # object-side nodes come from the explicit obj_is_iri flag: https IRIs
+    # count toward in-degree, literals that merely look like IRIs do not
     t = spark.createDataFrame(
         [
-            ("http://a", "p", "http://b"),
-            ("http://a", "p", "http://c"),
-            ("http://b", "p", "http://a"),
-            ("http://a", "q", "literal value"),  # literal obj: no in-degree
+            ("http://a", "p", "http://b", True),
+            ("http://a", "p", "http://c", True),
+            ("http://b", "p", "http://a", True),
+            ("http://a", "q", "literal value", False),      # no in-degree
+            ("http://a", "q", "http://not-a-node", False),  # literal despite prefix
+            ("http://c", "p", "https://s", True),           # https IS a node
         ],
-        ["subj", "pred", "obj"],
+        ["subj", "pred", "obj", "obj_is_iri"],
     )
     rows = [(r.node, r.out_degree, r.in_degree, r.degree) for r in degree_topk(t, k=2).collect()]
-    assert rows == [("http://a", 3, 1, 4), ("http://b", 1, 1, 2)]
+    assert rows == [("http://a", 4, 1, 5), ("http://b", 1, 1, 2)]
+
+
+def test_chunk_curation_composition_no_python(spark):
+    """The composed curation → chunk → fingerprint driver row is ONE Spark
+    plan with zero Python boundaries: no ArrowEvalPython / BatchEvalPython
+    anywhere in the executed plan (everything — quality score, lang id,
+    dedup keeper join, token windows, md5 rollup — is native expressions)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["text_chunk_curation"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan[:2000]
+    assert df.count() > 0

@@ -254,7 +254,8 @@ def test_streaming_recrawl_and_bounded_files(spark, tmp_path):
         # (the file stream source tracks processed files by name)
         df.coalesce(1).write.mode("append").parquet(watched)
         q = stream_pages_pipeline(
-            spark, watched, out, ckpt, n_url_buckets=n_buckets, available_now=True
+            spark, watched, out, ckpt, n_url_buckets=n_buckets, available_now=True,
+            manifest_prune_every=1,
         )
         q.awaitTermination(300)
 
@@ -288,6 +289,13 @@ def test_streaming_recrawl_and_bounded_files(spark, tmp_path):
         b = os.path.basename(os.path.dirname(f))
         per_bucket[b] = per_bucket.get(b, 0) + 1
     assert per_bucket and max(per_bucket.values()) == 1, per_bucket
+
+    # bounded manifest: with manifest_prune_every=1 the per-trigger prune
+    # keeps one row per (stage, key, status) no matter how many triggers
+    # ran — and the recrawl/upsert assertions above passing proves the
+    # pruned manifest still drives incremental staleness correctly
+    m = mf.read_manifest(spark, f"{out}/manifest")
+    assert m.count() == m.select("stage", "partition_key", "status").distinct().count()
 
 
 def test_reconcile_converges_to_batch(spark, tmp_path):
@@ -452,3 +460,114 @@ def test_bucket_expr_segment_granularity(spark, tmp_path):
     assert s1[wp.S1]["pending_buckets"] == 1  # exactly the new segment
     assert s1[wp.S2]["pending_buckets"] == 1
     assert spark.read.parquet(f"{out}/docs").count() == 18
+
+
+def test_reconcile_crash_between_store_and_map_heals(spark, tmp_path, monkeypatch):
+    """Crash-atomicity across reconcile's two live artifacts (ADVICE r4):
+    kill the reconcile AFTER replace_store rewrote the triples to NEW
+    canonicals but BEFORE the entity-map swap. The manifest's
+    started-without-done marker must flag the mismatch, and the next
+    run_web_pipeline must redo the (idempotent) migration so S4 never
+    materializes mentions under merged-away canonicals."""
+    E_A = "alpha beta gamma delta one"
+    E_B = "alpha beta gamma delta two"
+    E_C = "alpha beta gamma delta"
+    aliases = spark.createDataFrame(
+        [("aone", E_A, 1.0, E_A), ("atwo", E_B, 1.0, E_B), ("acee", E_C, 1.0, E_C)],
+        ["alias", "entity_id", "prior", "context"],
+    )
+
+    def mk_pages(specs):
+        rows = [
+            (f"https://example.org/p{i}",
+             f"<html><head></head><body><p>{txt}</p></body></html>".encode())
+            for i, txt in specs
+        ]
+        return spark.createDataFrame(rows, ["url", "html"]).select(
+            "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+            F.lit(None).cast("string").alias("text"), F.lit("en").alias("lang"),
+        )
+
+    batch1 = [(0, "system uses aone here"), (1, "network has atwo features")]
+    batch2 = batch1 + [(2, "pipeline contains acee models")]
+    inc = str(tmp_path / "inc")
+    wp.run_web_pipeline(spark, mk_pages(batch1), inc, aliases=aliases, n_url_buckets=4)
+    wp.run_web_pipeline(spark, mk_pages(batch2), inc, aliases=aliases, n_url_buckets=4)
+
+    full = str(tmp_path / "full")
+    wp.run_web_pipeline(spark, mk_pages(batch2), full, aliases=aliases, n_url_buckets=4)
+
+    def keys(out):
+        t = spark.read.parquet(f"{out}/triples")
+        return {(r.subj, r.pred, r.obj, r.obj_is_iri, r.obj_datatype)
+                for r in t.select("subj", "pred", "obj", "obj_is_iri", "obj_datatype").collect()}
+
+    # --- crash injection: die on the map-swap rename (store already new) ---
+    map_path = os.path.join(inc, "entity_map")
+    real_rename = os.rename
+
+    def exploding_rename(src, dst):
+        if os.path.normpath(str(src)) == os.path.normpath(map_path) or (
+            os.path.normpath(str(dst)) == os.path.normpath(map_path)
+        ):
+            raise RuntimeError("injected crash between store rewrite and map swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", exploding_rename)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        wp.reconcile_canonicalization(spark, inc)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # the dangerous window: store on NEW canonicals, map still OLD
+    assert keys(inc) == keys(full)
+    m_now = {r.entity_id: r.canonical_id
+             for r in spark.read.parquet(map_path).collect()}
+    assert m_now[E_A] == E_A and m_now[E_B] == E_B  # old map survived
+    assert wp.reconcile_pending(spark, inc)
+
+    # the next pipeline run heals BEFORE any stage reads the pair
+    batch3 = batch2 + [(3, "agent implements aone again")]
+    wp.run_web_pipeline(spark, mk_pages(batch3), inc, aliases=aliases, n_url_buckets=4)
+    assert not wp.reconcile_pending(spark, inc)
+    m_rec = {r.entity_id: r.canonical_id
+             for r in spark.read.parquet(map_path).collect()}
+    assert set(m_rec.values()) == {E_C}  # reconciled map == batch clustering
+    # no merged-away canonical re-introduced by the post-heal S4
+    t = spark.read.parquet(f"{inc}/triples")
+    bad = {f"http://example.org/Entity_{E_A}", f"http://example.org/Entity_{E_B}"}
+    assert t.where(F.col("subj").isin(list(bad)) | F.col("obj").isin(list(bad))).count() == 0
+
+
+def test_prune_manifest_keeps_latest_semantics(spark, tmp_path):
+    """Retention compaction: prune_manifest keeps the latest row per
+    (stage, key, status); pending_keys / stale_keys / latest_outputs /
+    reconcile_pending are IDENTICAL before vs after, and the row count
+    collapses to the distinct-key bound."""
+    out = str(tmp_path / "out")
+    man = f"{out}/manifest"
+    _rec(spark, man, "s1", "k1", in_fp="A", out_fp="oa1")
+    _rec(spark, man, "s1", "k1", in_fp="B", out_fp="ob1")  # supersedes A
+    _rec(spark, man, "s1", "k2", in_fp="C", out_fp="oc1")
+    _rec(spark, man, "s2", "k1", in_fp="oa1")  # stale vs s1's latest ob1
+    mf.append_manifest(spark, man, [{"stage": "s3_reconcile", "partition_key": "global",
+                                     "status": "done"}])
+    mf.append_manifest(spark, man, [{"stage": "s3_reconcile", "partition_key": "global",
+                                     "status": "started"}])  # dangling crash marker
+
+    keys = spark.createDataFrame([("k1", "B"), ("k2", "X")], ["partition_key", "fp"])
+
+    def snapshot():
+        return (
+            sorted(r.partition_key for r in mf.pending_keys(spark, man, "s1", keys).collect()),
+            sorted(mf.stale_keys(spark, man, "s2", "s1")),
+            mf.latest_outputs(spark, man, "s1"),
+            wp.reconcile_pending(spark, out),
+        )
+
+    before = snapshot()
+    assert before[0] == ["k2"] and before[3] is True
+    nb, na = mf.prune_manifest(spark, man)
+    assert (nb, na) == (6, 5)  # only s1/k1's superseded row dropped
+    assert snapshot() == before
+    # idempotent
+    assert mf.prune_manifest(spark, man) == (5, 5)
