@@ -452,6 +452,37 @@ def _q_multimodal_gif(spark, sf_dir):
     )
 
 
+def _q_multimodal_jpeg(spark, sf_dir):
+    """REAL baseline JPEG decode through our own Huffman+IDCT
+    (operators/multimodal.py::_decode_jpeg): standard JFIF files minted in
+    coefficient space (per-block quantized DC = md5-stream byte - 128, flat
+    ×16 quant table), cycling grayscale / 4:4:4 / 4:2:0 by id. A DC-only
+    block IDCTs to a flat 8×8 at exactly clamp(2*byte-128), so the oracle
+    re-derives every pixel arithmetically (block-grid lookup + JFIF color
+    convert with floor(x+0.5)) — a decoder that misparses DHT/SOF, breaks
+    the DC prediction chain, mismaps 4:2:0 sub-blocks, or upsamples wrong
+    fails the hash. The general AC path is pinned separately in pytest
+    against a brute-force IDCT."""
+    from extremexp_knowledge_graph_spark.operators.multimodal import (
+        decode_image,
+        jpegs_from_ids,
+    )
+
+    media = jpegs_from_ids(_docs(spark, sf_dir).select(F.col("doc_id").alias("id")))
+    dec = decode_image(media)
+    px = dec.select("media_id", "fmt", "w", "h", F.posexplode("pixels").alias("j", "v"))
+    npx = F.col("w") * F.col("h")
+    return px.groupBy("media_id", "fmt", "w", "h").agg(
+        F.count("*").cast("long").alias("n_px"),
+        F.round(F.sum("v").cast("double") / (npx * 3), 6).alias("mean_val"),
+        F.sum((F.col("j") + 1) * F.col("v").cast("long")).cast("long").alias("checksum"),
+    ).select(
+        "media_id", "fmt",
+        F.col("w").cast("int").alias("w"), F.col("h").cast("int").alias("h"),
+        "n_px", "mean_val", "checksum",
+    )
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """The decode+resize path: same three-format image table, decoded with
     nearest-neighbor resize to 3x2. The oracle replays the index gather —
@@ -1017,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": _q_multimodal_video,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_gif": _q_multimodal_gif,
+        "multimodal_jpeg": _q_multimodal_jpeg,
         "text_stats": _q_text_stats,
         "text_topk_per_lang": _q_text_topk_per_lang,
         "text_token_counts": _q_text_token_counts,
@@ -2479,6 +2511,71 @@ SELECT doc_id, chunk_idx, start_tok,
   array_to_string(list_slice(toks, start_tok + 1, least(start_tok + 40, n)), ' ') AS chunk_text
 FROM c
 """
+
+def _jpeg_md5_byte_sql(idx: str) -> str:
+    """SQL for byte ``idx`` of the '42|jpg|<media_id>|<k>' md5 stream —
+    the same strpos hex parse the GIF/PNG oracles use."""
+    stream = f"md5('42|jpg|' || media_id || '|' || (({idx}) // 16))"
+    return (
+        f"((strpos('0123456789abcdef', substr({stream}, ((({idx}) % 16) * 2) + 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({stream}, ((({idx}) % 16) * 2) + 2, 1)) - 1))"
+    )
+
+
+# Arithmetic replay of the baseline-JPEG fixtures, fully independent of the
+# decoder: per pixel, look up the block's DC byte in the md5 stream (scan
+# interleave order — 1/3/6 bytes per block-or-MCU for gray/4:4:4/4:2:0),
+# component sample = clamp(2*byte - 128) (DC-only IDCT), then the JFIF
+# color convert with floor(x+0.5) exactly as the decoder rounds.
+ORACLE["multimodal_jpeg"] = rf"""
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         CAST(9 + (doc_id % 13) AS INTEGER) AS w,
+         CAST(9 + ((doc_id * 7) % 11) AS INTEGER) AS h,
+         doc_id % 3 AS mode
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, mode, j,
+         (j // 3) // w AS r, (j // 3) % w AS c, j % 3 AS ch
+  FROM meta, LATERAL (SELECT unnest(range(0, CAST(w AS BIGINT) * h * 3)) AS j) rj
+),
+idx AS (
+  SELECT media_id, w, h, mode, j, ch,
+    CASE WHEN mode = 2
+         THEN 6 * ((r // 16) * ((w + 15) // 16) + (c // 16)) + ((r % 16) // 8) * 2 + ((c % 16) // 8)
+         WHEN mode = 1 THEN 3 * ((r // 8) * ((w + 7) // 8) + (c // 8))
+         ELSE (r // 8) * ((w + 7) // 8) + (c // 8) END AS yi,
+    CASE WHEN mode = 2 THEN 6 * ((r // 16) * ((w + 15) // 16) + (c // 16)) + 4
+         WHEN mode = 1 THEN 3 * ((r // 8) * ((w + 7) // 8) + (c // 8)) + 1
+         ELSE NULL END AS cbi,
+    CASE WHEN mode = 2 THEN 6 * ((r // 16) * ((w + 15) // 16) + (c // 16)) + 5
+         WHEN mode = 1 THEN 3 * ((r // 8) * ((w + 7) // 8) + (c // 8)) + 2
+         ELSE NULL END AS cri
+  FROM px
+),
+comps AS (
+  SELECT media_id, w, h, mode, j, ch,
+    least(255, greatest(0, 2 * {_jpeg_md5_byte_sql("yi")} - 128)) AS y,
+    least(255, greatest(0, 2 * {_jpeg_md5_byte_sql("cbi")} - 128)) AS cb,
+    least(255, greatest(0, 2 * {_jpeg_md5_byte_sql("cri")} - 128)) AS cr
+  FROM idx
+),
+vals AS (
+  SELECT media_id, w, h, j,
+    CAST(CASE WHEN mode = 0 THEN y
+         WHEN ch = 0 THEN least(255, greatest(0, floor(y + 1.402 * (cr - 128) + 0.5)))
+         WHEN ch = 1 THEN least(255, greatest(0, floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+         ELSE least(255, greatest(0, floor(y + 1.772 * (cb - 128) + 0.5))) END AS BIGINT) AS val
+  FROM comps
+)
+SELECT media_id, 'jpeg' AS fmt, w, h,
+  CAST(count(*) AS BIGINT) AS n_px,
+  round(CAST(sum(val) AS DOUBLE) / (w * h * 3), 6) AS mean_val,
+  CAST(sum((j + 1) * val) AS BIGINT) AS checksum
+FROM vals GROUP BY media_id, w, h
+"""
+
 
 # Composed curation → chunking → fingerprint replay: the curated keeper set
 # is the text_curation oracle verbatim (nested WITH in a derived table),

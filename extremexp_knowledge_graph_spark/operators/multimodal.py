@@ -16,10 +16,15 @@ RIFF/WAVE PCM-16 parsing via ``struct`` + ``np.frombuffer``.
 deterministically, so both decoders are driver-oracled against an
 INDEPENDENT arithmetic derivation of the payload stream. ``sample_video_frames`` walks real YUV4MPEG2 (.y4m) streams — the
 uncompressed video interchange format — with frame-domain stride sampling.
-What still needs codec libraries absent from this container: JPEG (DCT)
-and compressed video (mp4/webm) — ``decode_features`` is the documented
-deterministic byte-level stand-in for those. Swapping in PIL/pyav changes
-one kernel body, nothing structural.
+**JPEG is real too**: a general baseline-sequential decoder (marker walk,
+arbitrary DHT tables, full DC-diff + AC run/size entropy decode, dequant,
+float IDCT, 4:2:0 replication upsample, JFIF color convert) plus an
+encoder minting standard JFIF fixtures in coefficient space — see the
+"JPEG" section below. What still needs codec libraries absent from this
+container: progressive/arithmetic JPEG and compressed video (mp4/webm) —
+``decode_features`` is the documented deterministic byte-level stand-in
+for those. Swapping in PIL/pyav changes one kernel body, nothing
+structural.
 """
 
 from __future__ import annotations
@@ -610,11 +615,12 @@ def decode_image(
     on_error: str = "raise",
 ) -> DataFrame:
     """REAL image decode for the formats a pure-numpy/stdlib kernel can
-    handle — binary PPM (P6), 24-bit BMP, and 8-bit RGB/RGBA PNG (stdlib
-    zlib inflate + full five-filter reconstruction) — with optional
-    nearest-neighbor resize to (width, height). JPEG still requires a codec
-    library not present in this container; unrecognized payloads raise (or
-    are skipped with ``on_error="skip"``).
+    handle — binary PPM (P6), 24-bit BMP, 8-bit RGB/RGBA PNG (stdlib zlib
+    inflate + full five-filter reconstruction), GIF87a/89a (our own LZW),
+    and baseline-sequential JPEG (our own Huffman + IDCT) — with optional
+    nearest-neighbor resize to (width, height). Progressive JPEG and
+    formats needing external codec libraries raise; unrecognized payloads
+    raise (or are skipped with ``on_error="skip"``).
 
     Output: (media_id, fmt, src_w, src_h, w, h, pixels ARRAY<FLOAT>) with
     pixels the RGB row-major values (0-255) AFTER resize. Arrow-batched
@@ -642,6 +648,9 @@ def decode_image(
                     elif payload[:4] == b"GIF8":
                         fmt = "gif"
                         sw, sh, arr = _decode_gif(payload)
+                    elif payload[:2] == b"\xff\xd8":
+                        fmt = "jpeg"
+                        sw, sh, arr = _decode_jpeg(payload)
                     else:
                         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
                 except _DECODE_ERRORS:
@@ -660,6 +669,414 @@ def decode_image(
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return media.select("media_id", "media").mapInPandas(kernel, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU T.81), pure numpy/stdlib
+# ---------------------------------------------------------------------------
+# The encoder mints fully-standard baseline JFIF files (any external decoder
+# accepts them); the decoder is GENERAL for baseline sequential: marker walk,
+# arbitrary DHT Huffman tables, full DC-diff + AC run/size entropy decoding,
+# dequant, zigzag, float IDCT, 4:2:0/4:4:4 chroma replication upsample, JFIF
+# YCbCr→RGB. Progressive (SOF2), 12-bit, arithmetic coding, and restart
+# intervals raise — honest scope boundaries, not silent garbage.
+
+#: zigzag position k → natural row-major index (T.81 Figure A.6 — a public
+#: constant of the format, like the PNG filter ids)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: our own (NOT Annex K) valid Huffman specs — every code the same length,
+#: trivially Kraft-satisfying, no all-ones code: DC = 12 category symbols at
+#: 4 bits; AC = EOB + ZRL + all (run 0-15, size 1-10) at 8 bits (162 ≤ 255).
+#: Compression is irrelevant for minted fixtures; validity is not.
+_JPEG_DC_SPEC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_JPEG_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_SPEC = ([0] * 7 + [len(_JPEG_AC_SYMS)] + [0] * 8, _JPEG_AC_SYMS)
+_JPEG_QTABLE = [16] * 64  # flat ×16: DC-only blocks dequantize to exact ints
+
+
+def _jpeg_huff_codes(bits, vals):
+    """Canonical JPEG Huffman assignment (T.81 C.2): symbol → (code, len)."""
+    code, k, out = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF→0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _jpeg_mode_geometry(w: int, h: int, mode: str):
+    """(components, (hmax, vmax), mcus_x, mcus_y, blocks_per_mcu_per_comp).
+
+    components: list of (id, (h_samp, v_samp)). blocks per MCU per comp =
+    h_samp * v_samp; scan interleave order is per-MCU, per-component,
+    sub-blocks raster within the component's sampling grid (T.81 A.2.3)."""
+    if mode == "gray":
+        comps = [(1, (1, 1))]
+    elif mode == "444":
+        comps = [(1, (1, 1)), (2, (1, 1)), (3, (1, 1))]
+    elif mode == "420":
+        comps = [(1, (2, 2)), (2, (1, 1)), (3, (1, 1))]
+    else:
+        raise ValueError(f"unknown jpeg mode {mode!r}")
+    hmax = max(c[1][0] for c in comps)
+    vmax = max(c[1][1] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    return comps, (hmax, vmax), mcus_x, mcus_y
+
+
+def _encode_jpeg(w: int, h: int, mode: str, coeff_blocks) -> bytes:
+    """Standard baseline JFIF from quantized coefficient blocks.
+
+    ``coeff_blocks``: one 64-int list (ZIGZAG order) per block, in scan
+    interleave order (per MCU, per component, per sub-block). Working in
+    coefficient space means no forward DCT is needed and the decoder's
+    output is an exact arithmetic function of these ints — the property the
+    driver oracle replays."""
+    import struct
+
+    comps, _, mcus_x, mcus_y = _jpeg_mode_geometry(w, h, mode)
+    dc_codes = _jpeg_huff_codes(*_JPEG_DC_SPEC)
+    ac_codes = _jpeg_huff_codes(*_JPEG_AC_SPEC)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qt = bytes([0x00] + _JPEG_QTABLE)  # precision 0, table id 0
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, (hs, vs) in comps:
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, (bits, vals) in ((0, _JPEG_DC_SPEC), (1, _JPEG_AC_SPEC)):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([len(comps)])
+    for cid, _ in comps:
+        sos += bytes([cid, 0x00])  # DC table 0 / AC table 0
+    sos += b"\x00\x3f\x00"  # spectral 0..63, Ah/Al 0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _JpegBitWriter()
+    pred = {cid: 0 for cid, _ in comps}
+    bi = 0
+    for _ in range(mcus_x * mcus_y):
+        for cid, (hs, vs) in comps:
+            for _ in range(hs * vs):
+                blk = coeff_blocks[bi]
+                bi += 1
+                diff = blk[0] - pred[cid]
+                pred[cid] = blk[0]
+                s = int(diff != 0) and int(abs(diff)).bit_length()
+                code, ln = dc_codes[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                k = 1
+                while k < 64:
+                    run = 0
+                    while k < 64 and blk[k] == 0:
+                        run += 1
+                        k += 1
+                    if k == 64:
+                        code, ln = ac_codes[0x00]  # EOB
+                        bw.put(code, ln)
+                        break
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    v = blk[k]
+                    s = int(abs(v)).bit_length()
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                    k += 1
+    if bi != len(coeff_blocks):
+        raise ValueError("coeff_blocks count does not match MCU geometry")
+    out += bw.flush() + b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-stuffing marker (EOI)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy data exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("jpeg: marker inside entropy data")
+            self.acc, self.n = byte, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_idct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0  # A[u, x]
+    a[0, :] /= np.sqrt(2.0)
+    return a
+
+
+def _decode_jpeg(payload: bytes):
+    """General baseline-sequential JPEG decode (grayscale or YCbCr with any
+    sampling factors; grayscale output tripled to RGB). Samples are rounded
+    half-up and clipped to uint8 per component plane BEFORE color
+    conversion (standard integer-decoder behavior — and what makes the
+    output an exact arithmetic function of the coefficients)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("jpeg: truncated segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                qtables[tq] = list(seg[sp + 1 : sp + 65])
+                sp += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append((cid, (hv >> 4, hv & 0xF), tq))
+            sof = (fw, fh, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1 : sp + 17])
+                nv = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + nv])
+                codes = _jpeg_huff_codes(bits, vals)
+                huff[(tc, th)] = {(ln, code): sym for sym, (code, ln) in codes.items()}
+                sp += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", seg, 0)
+            if ri:
+                raise ValueError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if sof is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cid, tabs >> 4, tabs & 0xF))
+            fw, fh, comps = sof
+            byid = {cid: (samp, tq) for cid, samp, tq in comps}
+            hmax = max(s[0] for s, _ in byid.values())
+            vmax = max(s[1] for s, _ in byid.values())
+            mcus_x, mcus_y = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+            planes = {
+                cid: np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.float64)
+                for cid, ((hs, vs), _) in byid.items()
+            }
+            idct = _jpeg_idct_matrix()
+            br = _JpegBitReader(payload, pos + seg_len)
+            pred = {cid: 0 for cid, _, _ in scan}
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cid, tdc, tac in scan:
+                        (hs, vs), tq = byid[cid]
+                        q = qtables[tq]
+                        for sb in range(hs * vs):
+                            by, bx = sb // hs, sb % hs
+                            zz = np.zeros(64, dtype=np.int64)
+                            s = br.huff(huff[(0, tdc)])
+                            diff = _jpeg_extend(br.bits(s), s) if s else 0
+                            pred[cid] += diff
+                            zz[0] = pred[cid] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = br.huff(huff[(1, tac)])
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                run, size = rs >> 4, rs & 0xF
+                                k += run
+                                if k > 63:
+                                    raise ValueError("jpeg: AC index overflow")
+                                zz[k] = _jpeg_extend(br.bits(size), size) * q[k]
+                                k += 1
+                            blk = np.zeros(64, dtype=np.float64)
+                            blk[_JPEG_ZIGZAG] = zz
+                            px = idct.T @ blk.reshape(8, 8) @ idct + 128.0
+                            r0 = (my * vs + by) * 8
+                            c0 = (mx * hs + bx) * 8
+                            planes[cid][r0 : r0 + 8, c0 : c0 + 8] = px
+            # half-up round + clip each component plane to uint8, then
+            # replicate-upsample to the luma grid and color-convert
+            for cid in planes:
+                planes[cid] = np.clip(np.floor(planes[cid] + 0.5), 0, 255)
+            full_h, full_w = mcus_y * 8 * vmax, mcus_x * 8 * hmax
+            up = {}
+            for cid, ((hs, vs), _) in byid.items():
+                p = planes[cid]
+                up[cid] = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)[
+                    :full_h, :full_w
+                ]
+            ids = sorted(up)
+            if len(ids) == 1:
+                g = up[ids[0]][:fh, :fw]
+                rgb = np.stack([g, g, g], axis=2)
+            elif len(ids) == 3:
+                y, cb, cr = (up[i][:fh, :fw] for i in ids)
+                r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+                gg = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
+                b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+                rgb = np.clip(np.stack([r, gg, b], axis=2), 0, 255)
+            else:
+                raise ValueError("jpeg: unsupported component count")
+            return fw, fh, rgb.astype(np.uint8)
+        elif marker == 0xD9:  # EOI before SOS
+            break
+        pos += seg_len
+    raise ValueError("jpeg: no scan data found")
+
+
+def _jpeg_mode(mid: int) -> str:
+    return ("gray", "444", "420")[mid % 3]
+
+
+def _jpeg_dims(mid: int) -> tuple[int, int]:
+    """9-21 × 9-19 px: spans multiple MCUs (incl. 4:2:0's 16×16) and always
+    exercises right/bottom partial-block crop."""
+    return 9 + (mid % 13), 9 + ((mid * 7) % 11)
+
+
+def jpegs_from_ids(ids: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic REAL baseline-JPEG table: per block, the quantized DC
+    coefficient is ``stream_byte - 128`` (AC all zero) where the stream is
+    the md5 chain of ``f"{seed}|jpg|{id}|{k}"`` — one byte per block in scan
+    interleave order. With the flat ×16 quant table the decoded component
+    sample for a block's pixels is EXACTLY ``clamp(2*byte - 128, 0, 255)``
+    (IDCT of a DC-only block is flat at dc*Q0/8), so the driver oracle can
+    re-derive every pixel arithmetically without running a decoder — while
+    the decode path still exercises the full general machinery (marker walk,
+    Huffman DC diffs, dequant, IDCT, 4:2:0 upsample, color convert, crop)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = _jpeg_dims(mid)
+                mode = _jpeg_mode(mid)
+                comps, _, mcus_x, mcus_y = _jpeg_mode_geometry(w, h, mode)
+                bpm = sum(hs * vs for _, (hs, vs) in comps)
+                n_blocks = mcus_x * mcus_y * bpm
+                stream = _image_pixel_stream(f"{seed}|jpg", mid, n_blocks)
+                blocks = [[b - 128] + [0] * 63 for b in stream]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media": _encode_jpeg(w, h, mode, blocks),
+                        "mime": "image/jpeg",
+                        "meta": {"w": str(w), "h": str(h), "mode": mode, "seed": str(seed)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "media", "mime", "meta"])
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def _audio_sample_count(mid: int) -> int:

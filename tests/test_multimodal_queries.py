@@ -353,3 +353,99 @@ def test_decode_image_on_error(spark):
     assert decode_image(bad, on_error="skip").count() == 0
     with _pytest.raises(Exception):
         decode_image(bad).count()
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential, our own Huffman + IDCT
+# ---------------------------------------------------------------------------
+def test_jpeg_ac_path_vs_bruteforce_idct():
+    """General entropy/AC coverage the DC-only driver fixtures don't give:
+    a block with negative coefficients, long zero runs (forces ZRL), and a
+    coefficient at k=63 (no EOB) must decode to EXACTLY the brute-force
+    T.81 IDCT double loop — an implementation independent of the decoder's
+    matrix formulation."""
+    import math
+
+    import numpy as np
+
+    from extremexp_knowledge_graph_spark.operators import multimodal as M
+
+    zz = [0] * 64
+    zz[0], zz[1], zz[2], zz[20], zz[21], zz[40], zz[63] = 5, -3, 7, -1, 2, 9, -4
+    w, h, arr = M._decode_jpeg(M._encode_jpeg(8, 8, "gray", [list(zz)]))
+    assert (w, h) == (8, 8)
+
+    nat = np.zeros((8, 8))
+    for k, v in enumerate(zz):
+        nat.flat[M._JPEG_ZIGZAG[k]] = v * 16  # flat ×16 quant table
+
+    def cc(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    exp = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (cc(u) * cc(v) * nat[u, v]
+                          * math.cos((2 * x + 1) * u * math.pi / 16)
+                          * math.cos((2 * y + 1) * v * math.pi / 16))
+            exp[x, y] = s / 4 + 128
+    exp = np.clip(np.floor(exp + 0.5), 0, 255)
+    assert np.array_equal(arr[:, :, 0].astype(float), exp)
+    assert np.array_equal(arr[:, :, 0], arr[:, :, 2])  # gray tripled
+
+
+def test_jpeg_dc_prediction_and_420_geometry():
+    """Multi-MCU DC prediction chains per component + 4:2:0 sub-block
+    placement: a 17x17 4:2:0 image (2x2 MCUs, right/bottom crop) whose
+    blocks are DC-only must place each flat 8x8 where the sampling grid
+    says, independently derived from the MCU walk."""
+    import numpy as np
+
+    from extremexp_knowledge_graph_spark.operators import multimodal as M
+
+    w = h = 17
+    comps, _, mx, my = M._jpeg_mode_geometry(w, h, "420")
+    bpm = sum(hs * vs for _, (hs, vs) in comps)
+    n = mx * my * bpm
+    dcs = [((i * 37) % 256) - 128 for i in range(n)]  # varied diffs incl. sign flips
+    payload = M._encode_jpeg(w, h, "420", [[d] + [0] * 63 for d in dcs])
+    dw, dh, arr = M._decode_jpeg(payload)
+    assert (dw, dh) == (w, h)
+
+    clamp = lambda v: min(255, max(0, v))  # noqa: E731
+    for r in range(h):
+        for c in range(w):
+            m = (r // 16) * mx + (c // 16)
+            sub = ((r % 16) // 8) * 2 + ((c % 16) // 8)
+            yv = clamp(2 * dcs[6 * m + sub] + 128)  # dc*16/8 = 2*dc
+            cb = clamp(2 * dcs[6 * m + 4] + 128)
+            cr = clamp(2 * dcs[6 * m + 5] + 128)
+            import math
+            expR = clamp(math.floor(yv + 1.402 * (cr - 128) + 0.5))
+            assert arr[r, c, 0] == expR, (r, c)
+
+
+def test_jpeg_scope_boundaries():
+    """Progressive SOF2, 16-bit DQT, restart intervals, and truncated
+    streams raise ValueError — honest scope, not silent garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from extremexp_knowledge_graph_spark.operators import multimodal as M
+
+    good = M._encode_jpeg(8, 8, "gray", [[1] + [0] * 63])
+    assert M._decode_jpeg(good)[2].shape == (8, 8, 3)
+
+    with _pytest.raises(ValueError):
+        M._decode_jpeg(good[:24])  # truncated mid-segment
+    with _pytest.raises(ValueError):
+        M._decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))  # progressive
+    # inject a DRI segment with nonzero interval before SOS
+    sos_at = good.index(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
+    with _pytest.raises(ValueError):
+        M._decode_jpeg(good[:sos_at] + dri + good[sos_at:])
