@@ -56,3 +56,84 @@ def sessionize(
             ),
         )
     )
+
+
+def sessionize_two_phase(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    bucket: str = "6 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Hot-key-safe sessionization: identical output to ``sessionize`` (a
+    pinned test asserts equality), different shuffle shape.
+
+    ``sessionize`` must colocate ALL of a user's events in one task — a bot
+    account owning 60% of a day's events is an irreducible straggler there,
+    because exact gap semantics need every consecutive-event pair. The
+    standard fix is two-phase:
+
+    1. sessionize within (user, tumbling time bucket) — the native
+       ``session_window`` runs in parallel across a hot user's buckets, so
+       per-task input is bounded by events-per-(user, bucket), not
+       events-per-user;
+    2. interval-merge the per-bucket sessions per user (lag → strictly-
+       greater-than-running-end break → running sum → group, the same
+       relational shape as the driver oracle). Sessions touching across a
+       bucket boundary merge because ``next.session_start <=
+       prev.session_end`` is exactly "inter-event gap <= gap" when end =
+       last_event + gap.
+
+    Phase 2 still shuffles on the user key, but it carries SESSION rows
+    (orders of magnitude fewer than events for any hot key worth worrying
+    about) — the 100 TB shape. ``bucket`` must be >= ``gap`` for merge
+    transitivity to stay local to adjacent intervals (asserted). Value
+    sums stay exact decimal until the single final round, so the two-phase
+    result is bit-identical to the one-phase one.
+    """
+    from pyspark.sql.window import Window
+
+    # crude parse to assert bucket >= gap (both Spark interval strings)
+    def _secs(s: str) -> float:
+        n, unit = s.split()
+        mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+        return float(n) * mult
+
+    if _secs(bucket) < _secs(gap):
+        raise ValueError("bucket width must be >= gap")
+
+    aggs = [F.count("*").cast("long").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sv"))
+    part = (
+        events.withColumn("_tb", F.window(F.col(ts_col), bucket)["start"])
+        .groupBy(F.col(user_col), F.col("_tb"), F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            *([] if value_col is None else ["_sv"]),
+        )
+    )
+    w = Window.partitionBy(user_col).orderBy("session_start", "session_end")
+    prior_end = F.max("session_end").over(
+        Window.partitionBy(user_col)
+        .orderBy("session_start", "session_end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prior_end.isNull() | (F.col("session_start") > prior_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    merged = part.withColumn("_sid", F.sum(brk).over(w))
+    out_aggs = [
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    ]
+    if value_col is not None:
+        out_aggs.append(F.round(F.sum("_sv").cast("double"), 6).alias("sum_value"))
+    return merged.groupBy(F.col(user_col), F.col("_sid")).agg(*out_aggs).drop("_sid")

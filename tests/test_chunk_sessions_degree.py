@@ -105,3 +105,41 @@ def test_chunk_curation_composition_no_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan[:2000]
     assert df.count() > 0
+
+
+def test_sessionize_two_phase_equals_one_phase(spark):
+    """The hot-key-safe two-phase sessionizer is bit-identical to the
+    native one-phase session_window on data built to stress every merge
+    edge: a session spanning five 6h buckets (hot user), sessions touching
+    EXACTLY at a bucket boundary (gap == 30min must merge), separate
+    sessions within and across buckets, and exact decimal value sums."""
+    import datetime as dt
+
+    from extremexp_knowledge_graph_spark.operators.sessions import (
+        sessionize,
+        sessionize_two_phase,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # hot user: events every 20min for 30h → ONE session spanning 5 buckets
+    rows += [(1, t0 + dt.timedelta(minutes=20 * i), float(i % 7)) for i in range(90)]
+    # exact-touch across the 6h bucket boundary: 5:50 → 6:20 is exactly 30min
+    rows += [(2, t0 + dt.timedelta(hours=5, minutes=50), 1.5),
+             (2, t0 + dt.timedelta(hours=6, minutes=20), 2.25),
+             (2, t0 + dt.timedelta(hours=9), 3.0)]
+    # separate sessions across buckets
+    rows += [(3, t0, 1.0), (3, t0 + dt.timedelta(hours=7), 2.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+
+    one = sorted(map(tuple, sessionize(df, value_col="value").collect()))
+    two = sorted(map(tuple, sessionize_two_phase(df, value_col="value").collect()))
+    assert one == two
+    # the hot user's 30h run merged into a single session in both
+    assert sum(1 for r in one if r[0] == 1) == 1
+    # user 2's exact-touch boundary pair merged (2 sessions, not 3)
+    assert sum(1 for r in one if r[0] == 2) == 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sessionize_two_phase(df, gap="30 minutes", bucket="10 minutes")
