@@ -990,6 +990,24 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+def _q_events_sessions_two_phase(spark, sf_dir):
+    """The hot-key-safe sessionizer (operators/sessions.py::
+    sessionize_two_phase — intra-bucket session_window, then per-user
+    interval merge over SESSION rows) must produce bit-identical sessions
+    to the one-phase plan, so it shares events_sessions' oracle verbatim:
+    the driver gate itself proves the skew-safe formulation is exact."""
+    from extremexp_knowledge_graph_spark.operators.sessions import sessionize_two_phase
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize_two_phase(e, gap="30 minutes", bucket="6 hours", value_col="value")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events", "sum_value",
+    )
+
+
 def _q_kg_degree_topk(spark, sf_dir):
     """Per-node degree centrality over the full constructed triple set
     (plans/queries.py::degree_topk); same triple universe as
@@ -1076,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_sales_rollup": _q_sql_sales_rollup,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_sessions_two_phase": _q_events_sessions_two_phase,
         "text_chunks": _q_text_chunks,
         "text_chunk_curation": _q_text_chunk_curation,
         "kg_degree_topk": _q_kg_degree_topk,
@@ -2638,6 +2657,12 @@ SELECT user_id,
   round((sum(value::DECIMAL(18,6)))::DOUBLE, 6) AS sum_value
 FROM s GROUP BY user_id, sid
 """
+
+# The two-phase (hot-key-safe) sessionizer is defined to be bit-identical
+# to the one-phase plan — it shares the SAME oracle, so the driver gate
+# itself proves the equivalence at sf0.01.
+ORACLE["events_sessions_two_phase"] = ORACLE["events_sessions"]
+
 
 # Same triple universe as kg_pred_counts — swap only the final aggregate
 # for per-node degrees. Object-side nodes replay dedup's explicit
