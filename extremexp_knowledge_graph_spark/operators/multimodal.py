@@ -961,6 +961,16 @@ def _decode_jpeg(payload: bytes):
                 scan.append((cid, tabs >> 4, tabs & 0xF))
             fw, fh, comps = sof
             byid = {cid: (samp, tq) for cid, samp, tq in comps}
+            # validate every table/component reference up front: a corrupt
+            # stream must raise ValueError (in _DECODE_ERRORS, so
+            # on_error="skip" drops the file) — never KeyError mid-decode
+            for cid, tdc, tac in scan:
+                if cid not in byid:
+                    raise ValueError("jpeg: scan component missing from SOF")
+                if (0, tdc) not in huff or (1, tac) not in huff:
+                    raise ValueError("jpeg: scan references undefined Huffman table")
+                if byid[cid][1] not in qtables:
+                    raise ValueError("jpeg: component references undefined quant table")
             hmax = max(s[0] for s, _ in byid.values())
             vmax = max(s[1] for s, _ in byid.values())
             mcus_x, mcus_y = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))

@@ -92,14 +92,30 @@ def sessionize_two_phase(
     sums stay exact decimal until the single final round, so the two-phase
     result is bit-identical to the one-phase one.
     """
+    import re
+
     from pyspark.sql.window import Window
 
-    # crude parse to assert bucket >= gap (both Spark interval strings)
+    # parse to assert bucket >= gap — accepts every multi-part interval
+    # string Spark's session_window does ("1 hour 30 minutes", "90 min"),
+    # and raises ValueError (never KeyError) on anything unrecognized
+    _UNIT_SECS = {
+        "microsecond": 1e-6, "millisecond": 1e-3, "second": 1, "sec": 1,
+        "minute": 60, "min": 60, "hour": 3600, "day": 86400, "week": 604800,
+    }
+
     def _secs(s: str) -> float:
-        n, unit = s.split()
-        mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-                "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
-        return float(n) * mult
+        parts = re.findall(r"([0-9.]+)\s*([a-zA-Z]+)", s)
+        if not parts:
+            raise ValueError(f"unparseable interval {s!r}")
+        total = 0.0
+        for n, unit in parts:
+            u = unit.lower()
+            u = u[:-1] if u.endswith("s") and len(u) > 3 else u  # plural → singular
+            if u not in _UNIT_SECS:
+                raise ValueError(f"unknown interval unit {unit!r} in {s!r}")
+            total += float(n) * _UNIT_SECS[u]
+        return total
 
     if _secs(bucket) < _secs(gap):
         raise ValueError("bucket width must be >= gap")

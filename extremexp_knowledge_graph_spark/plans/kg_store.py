@@ -66,6 +66,26 @@ def _recover_interrupted_compact(path: str) -> None:
         os.rename(old, path)
 
 
+def swap_rewrite(path: str, write_fn) -> None:
+    """The shared two-rename atomic-swap discipline: ``write_fn(tmp_path)``
+    writes the replacement table to ``<path>.compacting``, then the live
+    directory is swapped out via rename (crash at any point is healed by
+    ``_recover_interrupted_compact`` before the next read). One
+    implementation for every rewrite-in-place (store compaction, manifest
+    compaction/retention)."""
+    import os
+    import shutil
+
+    _recover_interrupted_compact(path)
+    tmp = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    write_fn(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
     """A7: the store scan — replaces the SPARQL-over-HTTP result pager
     (src/fuseki_client.py:134-153). Missing/empty table reads as an empty

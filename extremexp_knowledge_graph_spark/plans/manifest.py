@@ -25,19 +25,19 @@ from extremexp_knowledge_graph_spark.schema import MANIFEST_SCHEMA
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Always reads with the EXPLICIT current schema: per-file projection
+    fills columns a legacy file lacks with NULL (Iceberg-style evolution),
+    and — critically — a mixed old/new-file manifest can never lose a new
+    column (e.g. ``seq``) to whichever file's footer Spark happened to pick
+    for inference. A schemaless read followed by compaction would rewrite
+    the manifest WITHOUT the missing column, permanently."""
     from extremexp_knowledge_graph_spark.plans.kg_store import _recover_interrupted_compact
 
     _recover_interrupted_compact(path)
     try:
-        df = spark.read.parquet(path)
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
     except Exception:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
-    # schema evolution: manifests written before a column existed read back
-    # with it NULL (Iceberg would give this for free via schema evolution)
-    for field in MANIFEST_SCHEMA.fields:
-        if field.name not in df.columns:
-            df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
-    return df
 
 
 def compact_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -52,21 +52,18 @@ def compact_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
     """
     import glob
     import os
-    import shutil
 
-    from extremexp_knowledge_graph_spark.plans.kg_store import _recover_interrupted_compact
+    from extremexp_knowledge_graph_spark.plans.kg_store import (
+        _recover_interrupted_compact,
+        swap_rewrite,
+    )
 
     _recover_interrupted_compact(path)
     files_before = len(glob.glob(os.path.join(path, "*.parquet")))
     if not files_before:
         return 0, 0
-    tmp = path.rstrip("/") + ".compacting"
-    old = path.rstrip("/") + ".old"
-    spark.read.parquet(path).coalesce(1).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    df = read_manifest(spark, path)
+    swap_rewrite(path, lambda tmp: df.coalesce(1).write.mode("overwrite").parquet(tmp))
     return files_before, len(glob.glob(os.path.join(path, "*.parquet")))
 
 
@@ -88,30 +85,33 @@ def prune_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
     """
     import glob
     import os
-    import shutil
 
+    from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
-    from extremexp_knowledge_graph_spark.plans.kg_store import _recover_interrupted_compact
+    from extremexp_knowledge_graph_spark.plans.kg_store import (
+        _recover_interrupted_compact,
+        swap_rewrite,
+    )
 
     _recover_interrupted_compact(path)
     if not glob.glob(os.path.join(path, "*.parquet")):
         return 0, 0
-    df = spark.read.parquet(path)
-    rows_before = df.count()
+    # both row metrics ride the single write job as Observations — no
+    # separate count scans (same convention as reconcile's store rewrite)
+    obs_in, obs_out = Observation("prune_in"), Observation("prune_out")
+    df = read_manifest(spark, path).observe(obs_in, F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("stage", "partition_key", "status").orderBy(
-        F.desc("ts"), F.desc_nulls_last("seq") if "seq" in df.columns else F.desc("ts")
+        F.desc("ts"), F.desc_nulls_last("seq")
     )
-    kept = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
-    tmp = path.rstrip("/") + ".compacting"
-    old = path.rstrip("/") + ".old"
-    kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-    rows_after = spark.read.parquet(tmp).count()
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
-    return rows_before, rows_after
+    kept = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .observe(obs_out, F.count(F.lit(1)).alias("n"))
+    )
+    swap_rewrite(path, lambda tmp: kept.coalesce(1).write.mode("overwrite").parquet(tmp))
+    return int(obs_in.get["n"]), int(obs_out.get["n"])
 
 
 _seq_lock = threading.Lock()

@@ -48,10 +48,12 @@ def main() -> None:
 
     def timed(fn, reps=2):
         best = None
-        for _ in range(reps + 1):  # first run = warm-up
+        for i in range(reps + 1):
             t0 = time.monotonic()
             fn()
             dt = time.monotonic() - t0
+            if i == 0:
+                continue  # warm-up run excluded from the best-of
             if best is None or dt < best:
                 best = dt
         return round(best, 3)
