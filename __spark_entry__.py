@@ -1031,6 +1031,33 @@ def _q_kg_degree_topk(spark, sf_dir):
     return degree_topk(t, k=20)
 
 
+def _q_kg_pagerank(spark, sf_dir):
+    """Relational PageRank (plans/queries.py::pagerank_topk) over the same
+    constructed triple universe as kg_degree_topk — 5 damped power
+    iterations, top-20. Float determinism: per-destination contributions
+    fold in source order on BOTH sides (_sorted_fold ≡ list_reduce ORDER
+    BY), and the 1-α literal is Python-evaluated once so both engines see
+    0.15000000000000002, not 0.15."""
+    from extremexp_knowledge_graph_spark.operators.pattern_extract import (
+        gazetteer_mentions,
+        line_triples,
+        svo_triples,
+    )
+    from extremexp_knowledge_graph_spark.plans.queries import pagerank_topk
+    from extremexp_knowledge_graph_spark.schema import TRIPLE_KEY
+
+    docs = _docs(spark, sf_dir)
+    svo_docs = docs.withColumn("text", F.replace(F.col("text"), F.lit(" the "), F.lit(" is ")))
+    t = (
+        line_triples(docs)
+        .unionByName(svo_triples(svo_docs))
+        .unionByName(gazetteer_mentions(docs, DOC_GAZETTEER))
+        .dropDuplicates(TRIPLE_KEY)
+    )
+    pr = pagerank_topk(t, k=20, iters=5, alpha=0.85)
+    return pr.select("node", F.col("rank").alias("pr"))
+
+
 def _q_events_hourly(spark, sf_dir):
     """Windowed aggregation shape (streaming-equivalent batch plan)."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1098,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _q_text_chunks,
         "text_chunk_curation": _q_text_chunk_curation,
         "kg_degree_topk": _q_kg_degree_topk,
+        "kg_pagerank": _q_kg_pagerank,
     }
 
 
@@ -2682,6 +2710,42 @@ from (
 group by node
 order by degree desc, node
 limit 20""",
+)
+
+
+def _pagerank_cte_sql(iters: int = 5, alpha: float = 0.85) -> str:
+    """Unrolled damped power iteration continuing kg_pred_counts' WITH list
+    (leading comma). DuckDB recursive CTEs forbid the aggregate we need, so
+    the iterations are generated as chained CTEs — same constant-depth
+    shape as the Spark loop. ``list_reduce(list(x ORDER BY src))`` folds
+    contributions in source order ≡ the Spark side's _sorted_fold; the 1-α
+    literal is repr()'d from the SAME Python expression Spark lits."""
+    a, om = repr(alpha), repr(1 - alpha)
+    parts = [
+        ",\nedges AS (SELECT DISTINCT subj AS src, obj AS dst FROM dedup WHERE obj_is_iri = 1),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),",
+        "r0 AS (SELECT node, 1.0::DOUBLE AS r FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS (
+  SELECT n.node, {om} + {a} * coalesce(c.s, 0.0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           list_reduce(list(r.r / d.od ORDER BY e.src), (x, y) -> x + y) AS s
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+){"," if i < iters else ""}""")
+    parts.append(
+        f"SELECT node, round(r, 6) AS pr FROM r{iters} ORDER BY pr DESC, node LIMIT 20"
+    )
+    return "\n".join(parts)
+
+
+ORACLE["kg_pagerank"] = ORACLE["kg_pred_counts"].replace(
+    "select pred, count(*)::bigint as n from dedup group by pred",
+    _pagerank_cte_sql(iters=5, alpha=0.85),
 )
 
 

@@ -134,3 +134,62 @@ def degree_topk(triples: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("degree"), F.asc("node"))
         .limit(k)
     )
+
+
+def pagerank_topk(
+    triples: DataFrame, k: int = 20, iters: int = 10, alpha: float = 0.85
+) -> DataFrame:
+    """Relational PageRank over the KG's IRI→IRI edges (damped power
+    iteration, unnormalized ``(1-α) + α·Σ r(u)/outdeg(u)`` form), top-k.
+
+    The graph-analytics step past ``degree_topk`` that a KG consumer asks
+    for next; the reference has no graph-side computation at all (its
+    Fuseki endpoint serves pattern queries only, src/fuseki_client.py).
+    Spark-first shape: the edge relation (with out-degrees) is computed
+    once and lineage-truncated; each iteration is one join + one hash
+    aggregate, checkpointed so the plan stays constant-depth. At 100 TB:
+    pre-partition edges by ``src`` so the per-iteration join is
+    shuffle-free on the edge side and only the (much smaller) rank vector
+    moves.
+
+    Float determinism for the driver oracle: per-destination contributions
+    fold in SOURCE-NODE order via the linker's ``_sorted_fold`` (≡ DuckDB
+    ``list_reduce(list(... ORDER BY src))``), and ``1-α`` is evaluated in
+    Python on both sides so the literal is bit-identical. Parallel edges
+    are collapsed (simple digraph); dangling mass is dropped (the damping
+    constant keeps ranks finite) — both documented, both replayed."""
+    from extremexp_knowledge_graph_spark.operators.linker import _sorted_fold
+
+    edges = (
+        triples.where(F.col("obj_is_iri").cast("boolean"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("long").alias("od"))
+    e = edges.join(outdeg, "src").localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(_sorted_fold(F.col("src"), F.col("r") / F.col("od")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(1 - alpha) + F.lit(alpha) * F.coalesce("s", F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("node", F.round("r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(k)
+    )

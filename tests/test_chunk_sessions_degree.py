@@ -143,3 +143,35 @@ def test_sessionize_two_phase_equals_one_phase(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sessionize_two_phase(df, gap="30 minutes", bucket="10 minutes")
+
+
+def test_pagerank_topk_small_graph(spark):
+    """pagerank_topk on a hand-checkable graph vs an independent pure-Python
+    power iteration (same damped unnormalized form, contributions summed in
+    source order): a 3-cycle with an extra feeder and a dangling sink."""
+    from extremexp_knowledge_graph_spark.plans.queries import pagerank_topk
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("f", "a")]
+    t = spark.createDataFrame(
+        [(s, "p", o, True) for s, o in edges], ["subj", "pred", "obj", "obj_is_iri"]
+    )
+    got = {r.node: r.rank for r in pagerank_topk(t, k=10, iters=10, alpha=0.85).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {n: 1.0 for n in nodes}
+    for _ in range(10):
+        nxt = {}
+        for n in nodes:
+            s = 0.0
+            for src, dst in sorted(edges):  # source order, like _sorted_fold
+                if dst == n:
+                    s = s + r[src] / out[src]
+            nxt[n] = (1 - 0.85) + 0.85 * s
+        r = nxt
+    want = {n: round(v, 6) for n, v in r.items()}
+    assert got == want
+    # sanity: the cycle members outrank the dangling sink's feeder-less node
+    assert got["a"] > got["d"] and got["f"] == round(1 - 0.85, 6)
