@@ -933,7 +933,12 @@ def _decode_jpeg(payload: bytes):
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                comps.append((cid, (hv >> 4, hv & 0xF), tq))
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("jpeg: invalid sampling factors")
+                comps.append((cid, (hs, vs), tq))
+            if fw == 0 or fh == 0:
+                raise ValueError("jpeg: zero frame dimension")
             sof = (fw, fh, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: only baseline sequential (SOF0) supported")
@@ -973,6 +978,8 @@ def _decode_jpeg(payload: bytes):
                     raise ValueError("jpeg: component references undefined quant table")
             hmax = max(s[0] for s, _ in byid.values())
             vmax = max(s[1] for s, _ in byid.values())
+            if any(hmax % s[0] or vmax % s[1] for s, _ in byid.values()):
+                raise ValueError("jpeg: non-divisible sampling factors unsupported")
             mcus_x, mcus_y = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
             planes = {
                 cid: np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.float64)
@@ -990,8 +997,12 @@ def _decode_jpeg(payload: bytes):
                             by, bx = sb // hs, sb % hs
                             zz = np.zeros(64, dtype=np.int64)
                             s = br.huff(huff[(0, tdc)])
+                            if s > 11:  # 8-bit baseline DC category bound
+                                raise ValueError("jpeg: invalid DC category")
                             diff = _jpeg_extend(br.bits(s), s) if s else 0
                             pred[cid] += diff
+                            if abs(pred[cid]) > 2047:  # T.81 F.1.1.5.1 bound
+                                raise ValueError("jpeg: DC coefficient out of range")
                             zz[0] = pred[cid] * q[0]
                             k = 1
                             while k < 64:
@@ -1002,6 +1013,8 @@ def _decode_jpeg(payload: bytes):
                                     k += 16
                                     continue
                                 run, size = rs >> 4, rs & 0xF
+                                if size > 10:  # 8-bit baseline AC size bound
+                                    raise ValueError("jpeg: invalid AC category")
                                 k += run
                                 if k > 63:
                                     raise ValueError("jpeg: AC index overflow")

@@ -449,3 +449,34 @@ def test_jpeg_scope_boundaries():
     dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
     with _pytest.raises(ValueError):
         M._decode_jpeg(good[:sos_at] + dri + good[sos_at:])
+
+
+def test_jpeg_fuzz_only_decode_errors():
+    """Hostile-corpus contract: ANY corruption of a valid JPEG (truncation,
+    byte flips, segment deletion) must raise only _DECODE_ERRORS — the set
+    decode_image(on_error='skip') survives — never KeyError/UnboundLocal/
+    etc. Deterministic fuzz: 300 seeded mutations."""
+    import random
+
+    from extremexp_knowledge_graph_spark.operators import multimodal as M
+
+    comps, _, mx, my = M._jpeg_mode_geometry(17, 17, "420")
+    bpm = sum(hs * vs for _, (hs, vs) in comps)
+    good = M._encode_jpeg(17, 17, "420", [[(i * 37) % 256 - 128] + [0] * 63
+                                          for i in range(mx * my * bpm)])
+    rng = random.Random(20260818)
+    for trial in range(300):
+        b = bytearray(good)
+        op = trial % 3
+        if op == 0:  # truncate
+            b = b[: rng.randrange(2, len(b))]
+        elif op == 1:  # flip 1-4 bytes
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        else:  # delete a slice
+            i = rng.randrange(2, len(b) - 1)
+            del b[i : i + rng.randrange(1, 40)]
+        try:
+            M._decode_jpeg(bytes(b))
+        except M._DECODE_ERRORS:
+            pass  # the contract: these are the ONLY acceptable exceptions
