@@ -124,8 +124,12 @@ def _q_kg_linked_mentions(spark, sf_dir):
     return link_mentions(_docs(spark, sf_dir), aliases, alpha=0.7)
 
 
-def _q_kg_pred_counts(spark, sf_dir):
-    """E4 stats aggregate over the full constructed triple set."""
+def _kg_triples(spark, sf_dir):
+    """The shared constructed-triple universe behind kg_pred_counts,
+    kg_degree_topk, and kg_pagerank — their DuckDB oracles are string-spliced
+    from ONE template (ORACLE["kg_pred_counts"]), so the Spark side must be
+    built in exactly one place too or an edit desynchronizes a query from
+    the shared oracle universe."""
     from extremexp_knowledge_graph_spark.operators.pattern_extract import (
         gazetteer_mentions,
         line_triples,
@@ -135,13 +139,19 @@ def _q_kg_pred_counts(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     svo_docs = docs.withColumn("text", F.replace(F.col("text"), F.lit(" the "), F.lit(" is ")))
-    t = (
+    return (
         line_triples(docs)
         .unionByName(svo_triples(svo_docs))
         .unionByName(gazetteer_mentions(docs, DOC_GAZETTEER))
         .dropDuplicates(TRIPLE_KEY)
     )
-    return t.groupBy("pred").agg(F.count("*").cast("long").alias("n"))
+
+
+def _q_kg_pred_counts(spark, sf_dir):
+    """E4 stats aggregate over the full constructed triple set."""
+    return _kg_triples(spark, sf_dir).groupBy("pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
 
 
 def _q_kg_doc_mention_stats(spark, sf_dir):
@@ -1012,23 +1022,9 @@ def _q_kg_degree_topk(spark, sf_dir):
     """Per-node degree centrality over the full constructed triple set
     (plans/queries.py::degree_topk); same triple universe as
     kg_pred_counts, so the oracle swaps only the final aggregate."""
-    from extremexp_knowledge_graph_spark.operators.pattern_extract import (
-        gazetteer_mentions,
-        line_triples,
-        svo_triples,
-    )
     from extremexp_knowledge_graph_spark.plans.queries import degree_topk
-    from extremexp_knowledge_graph_spark.schema import TRIPLE_KEY
 
-    docs = _docs(spark, sf_dir)
-    svo_docs = docs.withColumn("text", F.replace(F.col("text"), F.lit(" the "), F.lit(" is ")))
-    t = (
-        line_triples(docs)
-        .unionByName(svo_triples(svo_docs))
-        .unionByName(gazetteer_mentions(docs, DOC_GAZETTEER))
-        .dropDuplicates(TRIPLE_KEY)
-    )
-    return degree_topk(t, k=20)
+    return degree_topk(_kg_triples(spark, sf_dir), k=20)
 
 
 def _q_kg_pagerank(spark, sf_dir):
@@ -1038,23 +1034,9 @@ def _q_kg_pagerank(spark, sf_dir):
     fold in source order on BOTH sides (_sorted_fold ≡ list_reduce ORDER
     BY), and the 1-α literal is Python-evaluated once so both engines see
     0.15000000000000002, not 0.15."""
-    from extremexp_knowledge_graph_spark.operators.pattern_extract import (
-        gazetteer_mentions,
-        line_triples,
-        svo_triples,
-    )
     from extremexp_knowledge_graph_spark.plans.queries import pagerank_topk
-    from extremexp_knowledge_graph_spark.schema import TRIPLE_KEY
 
-    docs = _docs(spark, sf_dir)
-    svo_docs = docs.withColumn("text", F.replace(F.col("text"), F.lit(" the "), F.lit(" is ")))
-    t = (
-        line_triples(docs)
-        .unionByName(svo_triples(svo_docs))
-        .unionByName(gazetteer_mentions(docs, DOC_GAZETTEER))
-        .dropDuplicates(TRIPLE_KEY)
-    )
-    pr = pagerank_topk(t, k=20, iters=5, alpha=0.85)
+    pr = pagerank_topk(_kg_triples(spark, sf_dir), k=20, iters=5, alpha=0.85)
     return pr.select("node", F.col("rank").alias("pr"))
 
 

@@ -981,6 +981,13 @@ def _decode_jpeg(payload: bytes):
             if any(hmax % s[0] or vmax % s[1] for s, _ in byid.values()):
                 raise ValueError("jpeg: non-divisible sampling factors unsupported")
             mcus_x, mcus_y = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+            # header-driven allocation bomb guard: SOF dimensions are
+            # attacker-controlled and planes are allocated BEFORE any
+            # entropy data is read — a two-byte flip declaring 65535×65535
+            # would try ~34 GB/component, and MemoryError is (rightly) not
+            # a skippable decode error. Cap padded pixels per plane.
+            if (mcus_x * 8 * hmax) * (mcus_y * 8 * vmax) > (1 << 24):
+                raise ValueError("jpeg: frame too large for this decoder")
             planes = {
                 cid: np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.float64)
                 for cid, ((hs, vs), _) in byid.items()

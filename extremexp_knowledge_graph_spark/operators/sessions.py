@@ -105,11 +105,13 @@ def sessionize_two_phase(
     }
 
     def _secs(s: str) -> float:
-        parts = re.findall(r"([0-9.]+)\s*([a-zA-Z]+)", s)
-        if not parts:
+        # fullmatch first: trailing unitless tokens ("2 hours 30") or other
+        # junk must be rejected up front, not silently ignored — this guard
+        # exists to fail EARLY with a clear message
+        if not re.fullmatch(r"(\s*-?[0-9.]+\s*[a-zA-Z]+)+\s*", s):
             raise ValueError(f"unparseable interval {s!r}")
         total = 0.0
-        for n, unit in parts:
+        for n, unit in re.findall(r"(-?[0-9.]+)\s*([a-zA-Z]+)", s):
             u = unit.lower()
             u = u[:-1] if u.endswith("s") and len(u) > 3 else u  # plural → singular
             if u not in _UNIT_SECS:
@@ -117,7 +119,10 @@ def sessionize_two_phase(
             total += float(n) * _UNIT_SECS[u]
         return total
 
-    if _secs(bucket) < _secs(gap):
+    gap_s, bucket_s = _secs(gap), _secs(bucket)
+    if gap_s <= 0 or bucket_s <= 0:
+        raise ValueError("gap and bucket must be positive intervals")
+    if bucket_s < gap_s:
         raise ValueError("bucket width must be >= gap")
 
     aggs = [F.count("*").cast("long").alias("n_events")]

@@ -172,25 +172,21 @@ def compact(
     """
     import glob
     import os
-    import shutil
 
     _recover_interrupted_compact(path)
     files_before = len(glob.glob(os.path.join(path, "*", "*.parquet")))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compacting"
-    old = path.rstrip("/") + ".old"
-    (
-        df.repartition(n_buckets, F.col("subj_bucket"))
-        .sortWithinPartitions("subj")  # clustering: subject point-lookups prune row groups
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("subj_bucket")
-        .parquet(tmp)
+    swap_rewrite(
+        path,
+        lambda tmp: (
+            df.repartition(n_buckets, F.col("subj_bucket"))
+            .sortWithinPartitions("subj")  # clustering: subject point-lookups prune row groups
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("subj_bucket")
+            .parquet(tmp)
+        ),
     )
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
     files_after = len(glob.glob(os.path.join(path, "*", "*.parquet")))
     return files_before, files_after
 
@@ -204,17 +200,13 @@ def replace_store(
     ``compact``; Iceberg form is ``REPLACE TABLE ... AS SELECT`` (one
     snapshot commit). Used by migrations that rewrite rows in place —
     e.g. ``reconcile_canonicalization``'s IRI moves."""
-    import os
-    import shutil
-
-    _recover_interrupted_compact(path)
-    tmp = path.rstrip("/") + ".compacting"
-    old = path.rstrip("/") + ".old"
-    with_layout(triples, n_buckets).write.mode("overwrite").partitionBy("subj_bucket").parquet(tmp)
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_rewrite(
+        path,
+        lambda tmp: with_layout(triples, n_buckets)
+        .write.mode("overwrite")
+        .partitionBy("subj_bucket")
+        .parquet(tmp),
+    )
 
 
 def snapshot(spark: SparkSession, path: str, snapshot_path: str) -> str:

@@ -62,7 +62,10 @@ def compact_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
     files_before = len(glob.glob(os.path.join(path, "*.parquet")))
     if not files_before:
         return 0, 0
-    df = read_manifest(spark, path)
+    # read DIRECTLY (no read_manifest): its empty-DF fallback is right for
+    # read-only callers but must never feed a rewrite — a transient read
+    # failure would otherwise replace the manifest with an empty table
+    df = spark.read.schema(MANIFEST_SCHEMA).parquet(path)
     swap_rewrite(path, lambda tmp: df.coalesce(1).write.mode("overwrite").parquet(tmp))
     return files_before, len(glob.glob(os.path.join(path, "*.parquet")))
 
@@ -98,9 +101,15 @@ def prune_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
     if not glob.glob(os.path.join(path, "*.parquet")):
         return 0, 0
     # both row metrics ride the single write job as Observations — no
-    # separate count scans (same convention as reconcile's store rewrite)
+    # separate count scans (same convention as reconcile's store rewrite).
+    # Direct read, NOT read_manifest: its empty-DF fallback must never feed
+    # a rewrite (a transient read failure would erase the manifest).
     obs_in, obs_out = Observation("prune_in"), Observation("prune_out")
-    df = read_manifest(spark, path).observe(obs_in, F.count(F.lit(1)).alias("n"))
+    df = (
+        spark.read.schema(MANIFEST_SCHEMA)
+        .parquet(path)
+        .observe(obs_in, F.count(F.lit(1)).alias("n"))
+    )
     w = Window.partitionBy("stage", "partition_key", "status").orderBy(
         F.desc("ts"), F.desc_nulls_last("seq")
     )
