@@ -1040,6 +1040,19 @@ def _q_kg_pagerank(spark, sf_dir):
     return pr.select("node", F.col("rank").alias("pr"))
 
 
+def _q_sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (functions/sketch.py::hll_distinct)
+    over event ids — O(m)-state cardinality estimation, the sketch that
+    replaces COUNT(DISTINCT) shuffles at corpus scale. Fully deterministic
+    (md5 nibble-wise register/rank, register-ordered harmonic fold, Python-
+    evaluated α·m²), so the oracle replays the sketch EXACTLY — estimate
+    included — not just approximately."""
+    from extremexp_knowledge_graph_spark.functions.sketch import hll_distinct
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(e, "event_id", p=8)
+
+
 def _q_events_hourly(spark, sf_dir):
     """Windowed aggregation shape (streaming-equivalent batch plan)."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1108,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_curation": _q_text_chunk_curation,
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_pagerank": _q_kg_pagerank,
+        "sketch_hll_distinct": _q_sketch_hll_distinct,
     }
 
 
@@ -2729,6 +2743,50 @@ ORACLE["kg_pagerank"] = ORACLE["kg_pred_counts"].replace(
     "select pred, count(*)::bigint as n from dedup group by pred",
     _pagerank_cte_sql(iters=5, alpha=0.85),
 )
+
+
+def _hll_oracle_sql() -> str:
+    """Exact replay of functions/sketch.py::hll_distinct(p=8) — nibble-wise
+    register/rank from the md5 hex string, register-ordered harmonic fold,
+    and the SAME Python-evaluated α·m² double."""
+    from extremexp_knowledge_graph_spark.functions.sketch import hll_alpha_m2
+
+    am2 = repr(hll_alpha_m2(8))
+    return rf"""
+WITH h AS (
+  SELECT md5(event_id::VARCHAR || '|hll') AS hx FROM events
+),
+rr AS (
+  SELECT
+    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+    length(regexp_extract(substr(hx, 3, 13), '^(0*)', 1)) AS z,
+    substr(hx, 3, 13) AS s
+  FROM h
+),
+rk AS (
+  SELECT reg,
+    CASE WHEN z = 13 THEN 53
+         ELSE z * 4 + CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+                           WHEN nib >= 2 THEN 2 ELSE 3 END + 1 END AS rank
+  FROM (SELECT reg, z,
+               strpos('0123456789abcdef', substr(s, z + 1, 1)) - 1 AS nib
+        FROM rr)
+),
+regs AS (SELECT reg, max(rank) AS mx FROM rk GROUP BY reg),
+agg AS (
+  SELECT count(*)::BIGINT AS registers_seen,
+         list_reduce(list(power(2.0, -mx) ORDER BY reg), (x, y) -> x + y) AS ssum
+  FROM regs
+)
+SELECT 256::INTEGER AS m, registers_seen,
+  round({am2} / (ssum + (256 - registers_seen)), 6) AS hll_estimate,
+  (SELECT count(DISTINCT event_id)::BIGINT FROM events) AS exact_distinct
+FROM agg
+"""
+
+
+ORACLE["sketch_hll_distinct"] = _hll_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -82,3 +82,31 @@ def test_stratified_fractions(spark):
     assert "de" not in by_lang  # frac 0.0 keeps none
     for lang in ("es", "fr"):  # default 0.5 within uniformity tolerance
         assert 30 <= len(by_lang[lang]) <= 70
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    """HyperLogLog sketch (functions/sketch.py): estimate within ~4σ of
+    truth at several cardinalities, invariant to partitioning (pure
+    function of the value set), and p validation."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from extremexp_knowledge_graph_spark.functions.sketch import hll_distinct
+
+    for n in (2000, 20000, 80000):
+        df = spark.range(n).select(F.concat(F.lit("key_"), F.col("id")).alias("k"))
+        row = hll_distinct(df, "k").collect()[0]
+        sigma = 1.04 / (row.m ** 0.5)
+        assert abs(row.hll_estimate - n) / n < 4 * sigma, row
+        assert row.exact_distinct == n
+
+    a = hll_distinct(
+        spark.range(30000).repartition(3).select(F.col("id").cast("string").alias("k")), "k"
+    ).collect()[0]
+    b = hll_distinct(
+        spark.range(30000).repartition(17).select(F.col("id").cast("string").alias("k")), "k"
+    ).collect()[0]
+    assert a == b  # partition-layout invariant, estimate bit-equal
+
+    with _pytest.raises(ValueError):
+        hll_distinct(spark.range(5).select(F.col("id").cast("string").alias("k")), "k", p=7)
